@@ -1,0 +1,21 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from web_crawler_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("wcs-tests", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "lake")

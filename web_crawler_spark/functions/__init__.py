@@ -1,0 +1,1 @@
+"""web_crawler_spark — PySpark-native crawl/parse engine (see SURVEY.md)."""

@@ -1,0 +1,148 @@
+"""Article / link extraction as Arrow-batched pandas UDFs (U1/U2/U3).
+
+The per-document extraction logic is ``refspec`` (the same pure functions
+used to generate golden outputs), guaranteeing byte-identity by
+construction. HTML parsing is inherently per-document work; the Spark-side
+contract is that it runs over Arrow record batches (pandas UDF), never as a
+row-at-a-time Python UDF, and the parse stage sits AFTER the seen-filter and
+politeness gates so at 100 TB we only parse URLs that will actually be kept.
+
+Reference parity: parse dispatch by parser_class column replicates the
+parser registry (/root/reference/app/utils/crawler_manager.py:24-35);
+selector configs are broadcast (closure-captured constants — tiny).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .. import refspec
+
+ARTICLE_SCHEMA = ("struct<title:string, content:string, summary:string,"
+                  " published_date:string>")
+LINKS_SCHEMA = "array<struct<url:string, date_str:string>>"
+
+
+@lru_cache(maxsize=1)
+def extract_article_udf():
+    """html binary → struct(title, content, summary, published_date).
+
+    Returns all-null struct fields for unparseable/missing-title pages; the
+    caller drops rows with null title (rbc_ukraine_parser.py:163-165)."""
+    @pandas_udf(ARTICLE_SCHEMA)
+    def _extract(html: pd.Series, parser_class: pd.Series) -> pd.DataFrame:
+        titles: List[Optional[str]] = []
+        contents: List[Optional[str]] = []
+        summaries: List[Optional[str]] = []
+        dates: List[Optional[str]] = []
+        for h, pc in zip(html, parser_class):
+            art = None
+            if h is not None:
+                try:
+                    art = refspec.extract_article(h, pc or "rbc")
+                except Exception:
+                    art = None
+            if art is None:
+                titles.append(None); contents.append(None)
+                summaries.append(None); dates.append(None)
+            else:
+                titles.append(art["title"])
+                contents.append(art["content"])
+                summaries.append(art.get("summary"))
+                dates.append(art.get("published_date"))
+        return pd.DataFrame({"title": titles, "content": contents,
+                             "summary": summaries, "published_date": dates})
+    return _extract
+
+
+@lru_cache(maxsize=1)
+def extract_links_udf():
+    """List-page html → ordered array of (url, date_str): the UDTF-shaped
+    1-page→N-links step (base_crawler.py:144-150); caller explodes with
+    posexplode so discovery order is preserved as ``discovered_seq``."""
+    @pandas_udf(LINKS_SCHEMA)
+    def _links(html: pd.Series, base_url: pd.Series,
+               parser_class: pd.Series) -> pd.Series:
+        out = []
+        for h, b, pc in zip(html, base_url, parser_class):
+            if h is None:
+                out.append([])
+                continue
+            try:
+                links = refspec.extract_links(h, b or "", pc or "rbc")
+            except Exception:
+                links = []
+            out.append([{"url": u, "date_str": d} for u, d in links])
+        return pd.Series(out)
+    return _links
+
+
+def normalize_content_col(col):
+    """Sink normalization P8 as a JVM-side expression (byte-identical to
+    models/database.py:169-177): \\n\\s*\\n+ → \\n, then trim."""
+    return F.trim(F.regexp_replace(col, r"\n\s*\n+", "\n"))
+
+
+def csv_flatten_col(col):
+    """CSV-sink whitespace flatten P9 (csv_storage.py:102-108)."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def summary_col(content):
+    """P7 — base_crawler.py:325."""
+    return F.when(F.length(content) > 200,
+                  F.concat(F.substring(content, 1, 200), F.lit("..."))
+                  ).otherwise(content)
+
+
+def strip_time_col(col):
+    """P11 — rbc_ukraine_parser.py:184-186 (split(' ')[0], null-safe)."""
+    return F.when(col.isNull(), None).otherwise(F.split(col, " ").getItem(0))
+
+
+def date_in_range_col(pub, start: str | None, end: str | None):
+    """P4 permissive predicate (base_crawler.py:103-125): null date or no
+    filter ⇒ include; else lexicographic string compare."""
+    if not start and not end:
+        return F.lit(True)
+    cond = F.lit(True)
+    if start and end:
+        cond = pub.between(start, end)
+    elif start:
+        cond = pub >= start
+    elif end:
+        cond = pub <= end
+    return pub.isNull() | cond
+
+
+def parse_articles(fetched: DataFrame, start_date: str | None = None,
+                   end_date: str | None = None) -> DataFrame:
+    """Fetched pages (url_canon, html, parser_class, source_id, date_str?) →
+    parsed article rows, date-filtered, content-normalized.
+
+    Plan shape (checked in tests via .explain): single projection with the
+    Arrow eval, then JVM-side filter/normalize — no extra shuffle."""
+    cols = fetched.columns
+    df = fetched.withColumn(
+        "art", extract_article_udf()(F.col("html"), F.col("parser_class")))
+    df = df.filter(F.col("art.title").isNotNull())
+    pub = (F.coalesce(strip_time_col(F.col("date_str")),
+                      strip_time_col(F.col("art.published_date")))
+           if "date_str" in cols else strip_time_col(F.col("art.published_date")))
+    df = df.withColumn("published_date", pub)
+    df = df.filter(date_in_range_col(F.col("published_date"), start_date, end_date))
+    return df.select(
+        *[c for c in ("source_id", "priority") if c in cols],
+        F.col("url_canon").alias("url"),
+        F.col("host"),
+        F.col("art.title").alias("title"),
+        normalize_content_col(F.col("art.content")).alias("content"),
+        F.col("published_date"),
+        *( [F.col("discovered_seq")] if "discovered_seq" in cols else [] ),
+    )

@@ -1,0 +1,333 @@
+"""Deduplication operators (SURVEY.md §2.3).
+
+D1 — order-preserving in-batch dedup (reference: list(dict.fromkeys(...)),
+     base_crawler.py:278) as a deterministic window, NOT dropDuplicates
+     (which is tie-nondeterministic under parallelism).
+
+D2 — global URL-seen set (reference: articles.url UNIQUE constraint,
+     database.py:57) as a two-stage filter that scales to 10^10 URLs:
+       1. sharded Bloom filters built distributed (applyInPandas per shard),
+          merged driver-side, broadcast — O(bits) driver memory, tunable fpp;
+          candidates that pass the bloom are *probably new*.
+       2. exact left_anti join against the articles table restricted to the
+          bloom-positive rows — removes the false positives; at 10^10 URLs the
+          anti-join input is |new| + fpp·|frontier|, not |seen|·|frontier|.
+     In local tests both stages run; stage 1 is validated to produce no false
+     negatives (bloom property) so correctness never depends on fpp.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------------------------------------------------------------------------
+# D1 — order-preserving first-occurrence dedup
+# ---------------------------------------------------------------------------
+
+def first_occurrence(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Keep the first row per key by ``order_col`` (deterministic replacement
+    for list(dict.fromkeys(...)))."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ---------------------------------------------------------------------------
+# D2 — sharded Bloom URL-seen filter
+# ---------------------------------------------------------------------------
+
+def _hash_pair(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per value (blake2b 16-byte digest split).
+    Deterministic across Python workers (no PYTHONHASHSEED dependence)."""
+    h1 = np.empty(len(values), dtype=np.uint64)
+    h2 = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.blake2b((v or "").encode("utf-8"), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return h1, h2
+
+
+class BloomShards:
+    """Partitioned bloom filter: shard by xxhash64(url) % n_shards; each shard
+    is an independent bit array sized for expected_per_shard at target fpp.
+
+    Scale story: at 10^10 seen URLs, 1% fpp ⇒ ~9.6 bits/URL ⇒ 12 GB total,
+    sharded into n_shards broadcast pieces; each executor only needs the
+    shards present in its partition's hash range when probing after a
+    shard-aligned repartition. (In local tests the whole dict broadcasts.)
+    """
+
+    def __init__(self, n_shards: int = 16, n_bits_per_shard: int = 1 << 17,
+                 n_hashes: int = 7):
+        self.n_shards = n_shards
+        self.n_bits = n_bits_per_shard
+        self.n_hashes = n_hashes
+        self.bits: Dict[int, np.ndarray] = {}
+
+    @classmethod
+    def sized_for(cls, expected_n: int, fpp: float = 0.01, n_shards: int = 16
+                  ) -> "BloomShards":
+        per = max(1024, expected_n // n_shards + 1)
+        m = int(-per * math.log(fpp) / (math.log(2) ** 2))
+        m = 1 << max(10, m.bit_length())            # round up to pow2 words
+        k = max(1, round(m / per * math.log(2)))
+        return cls(n_shards=n_shards, n_bits_per_shard=m, n_hashes=min(k, 12))
+
+    # -- build (distributed) -------------------------------------------------
+    def _shard_col(self, url_col):
+        """Shard id from the same blake h1 used for the bit positions, so the
+        probe (Python-side) routes to the identical shard."""
+        n_shards = self.n_shards
+
+        @pandas_udf("int")
+        def shard(urls: pd.Series) -> pd.Series:
+            h1, _ = _hash_pair(urls)
+            return pd.Series((h1 % np.uint64(n_shards)).astype(np.int32))
+
+        return shard(url_col)
+
+    def add_df(self, df: DataFrame, url_col: str = "url") -> "BloomShards":
+        n_bits, n_hashes = self.n_bits, self.n_hashes
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["__shard"].iloc[0])
+            arr = np.zeros(n_bits // 8, dtype=np.uint8)
+            h1, h2 = _hash_pair(pdf[url_col])
+            for i in range(n_hashes):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                np.bitwise_or.at(arr, (idx // 8).astype(np.int64),
+                                 np.uint8(1) << (idx % 8).astype(np.uint8))
+            return pd.DataFrame({"shard": [shard], "bits": [arr.tobytes()]})
+
+        built = (df.select(F.col(url_col).alias(url_col))
+                 .withColumn("__shard", self._shard_col(F.col(url_col)))
+                 .groupBy("__shard")
+                 .applyInPandas(build, schema="shard int, bits binary")
+                 .collect())
+        for row in built:
+            arr = np.frombuffer(row["bits"], dtype=np.uint8).copy()
+            if row["shard"] in self.bits:
+                self.bits[row["shard"]] |= arr
+            else:
+                self.bits[row["shard"]] = arr
+        return self
+
+    # -- probe (broadcast) ----------------------------------------------------
+    def might_contain_udf(self):
+        bits, n_shards, n_bits, n_hashes = (
+            dict(self.bits), self.n_shards, self.n_bits, self.n_hashes)
+
+        @pandas_udf("boolean")
+        def probe(urls: pd.Series) -> pd.Series:
+            if not len(urls):
+                return pd.Series([], dtype="bool")
+            out = np.zeros(len(urls), dtype=bool)
+            h1, h2 = _hash_pair(urls)
+            shards = (h1 % np.uint64(n_shards)).astype(np.int64)
+            for s in np.unique(shards):
+                arr = bits.get(int(s))
+                if arr is None:
+                    continue
+                sel = shards == s
+                ok = np.ones(int(sel.sum()), dtype=bool)
+                sh1, sh2 = h1[sel], h2[sel]
+                for i in range(n_hashes):
+                    idx = (sh1 + np.uint64(i) * sh2) % np.uint64(n_bits)
+                    ok &= (arr[(idx // 8).astype(np.int64)]
+                           >> (idx % 8).astype(np.uint8)) & 1 == 1
+                out[sel] = ok
+            return pd.Series(out)
+
+        return probe
+
+
+def seen_filter(candidates: DataFrame, seen_df: Optional[DataFrame],
+                bloom: Optional[BloomShards], url_col: str = "url") -> DataFrame:
+    """Return candidate rows whose url is NOT in the seen set.
+
+    bloom-negative ⇒ definitely new (no false negatives) — passes without
+    join; bloom-positive ⇒ exact left_anti against seen_df. With no bloom,
+    falls back to the plain anti-join. seen_df is read with only url_col
+    (column pruning reaches the parquet scan)."""
+    if seen_df is None:
+        return candidates
+    seen_urls = seen_df.select(F.col(url_col))
+    if bloom is None or not bloom.bits:
+        return candidates.join(seen_urls, on=url_col, how="left_anti")
+    probe = bloom.might_contain_udf()
+    flagged = candidates.withColumn("__maybe_seen", probe(F.col(url_col)))
+    fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    suspect = (flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+               .join(seen_urls, on=url_col, how="left_anti"))
+    return fresh.unionByName(suspect)
+
+
+# ---------------------------------------------------------------------------
+# Training-data dedup family (first-class ops, over `documents`-like tables)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """Exact dedup by content hash: keep min-id row per md5(text).
+    Map-side partial agg → single shuffle on the 128-bit digest (never on the
+    full text bytes — at 100 TB the shuffle carries 16B+8B per row)."""
+    h = F.md5(F.col(text_col))
+    keep = (df.select(F.col(id_col), h.alias("content_md5"))
+            .groupBy("content_md5").agg(F.min(id_col).alias(id_col)))
+    return keep.select(id_col, "content_md5")
+
+
+def _shingle_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
+    """Word n-gram shingles → uint64 hash arrays (vectorized per batch)."""
+    out = []
+    for t in texts:
+        toks = (t or "").split()
+        if len(toks) < n:
+            shingles = [" ".join(toks)] if toks else []
+        else:
+            shingles = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                            "little") for s in set(shingles)),
+            dtype=np.uint64, count=len(set(shingles)))
+        out.append(hs)
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """MinHash signatures via affine permutations h_i(x) = a_i*x + b_i mod p
+    over 64-bit shingle hashes — one Arrow batch pass, numpy inner loop."""
+    rng = np.random.RandomState(seed)
+    MERSENNE = np.uint64((1 << 61) - 1)
+    a = rng.randint(1, 1 << 60, size=num_hashes).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 60, size=num_hashes).astype(np.uint64)
+
+    @pandas_udf("array<bigint>")
+    def sig(texts: pd.Series) -> pd.Series:
+        res = []
+        for hs in _shingle_hashes(texts, shingle_n):
+            if len(hs) == 0:
+                res.append([0] * num_hashes)
+                continue
+            # (num_hashes, n_shingles) affine transform, min over shingles
+            vals = (np.outer(a, hs) + b[:, None]) % MERSENNE
+            res.append([int(x) for x in vals.min(axis=1).astype(np.int64)])
+        return pd.Series(res)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.8, seed: int = 42
+                      ) -> DataFrame:
+    """MinHash + LSH banding: shingle → minhash → band-bucket join →
+    candidate pairs → exact n-gram Jaccard verify. The band groupBy is the
+    only shuffle over full signatures; the verify join carries text only for
+    candidate ids (semi-joined), so at scale the O(n²) blowup is confined to
+    same-bucket collisions."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice(F.col("minhash"),
+                                  i * rows_per_band + 1, rows_per_band)
+            )).alias("band", "band_sig"))
+    buck = banded.select(id_col, "band",
+                         F.xxhash64(F.col("band").cast("string"),
+                                    F.col("band_sig").cast("string")).alias("bucket"))
+    l, r = buck.alias("l"), buck.alias("r")
+    cand = (l.join(r, (F.col("l.bucket") == F.col("r.bucket")) &
+                   (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+    texts = df.select(F.col(id_col), F.col(text_col))
+    cand = (cand
+            .join(texts.withColumnRenamed(id_col, "id_a")
+                        .withColumnRenamed(text_col, "text_a"), "id_a")
+            .join(texts.withColumnRenamed(id_col, "id_b")
+                        .withColumnRenamed(text_col, "text_b"), "id_b"))
+    jac = ngram_jaccard_col(F.col("text_a"), F.col("text_b"), shingle_n)
+    return (cand.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def ngram_jaccard_col(a, b, n: int = 3):
+    """Exact word-n-gram Jaccard as JVM-side array expressions (no UDF)."""
+    def grams(c):
+        toks = F.split(F.trim(c), r"\s+")
+        k = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    ga, gb = grams(a), grams(b)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash_col(text_col, bits: int = 64):
+    """64-bit SimHash over word tokens, pure JVM expressions: per token a
+    64-bit xxhash; the signature bit b is 1 iff sum over tokens of
+    sign(bit b) > 0. Expressed with transform/aggregate (no Python)."""
+    toks = F.array_distinct(F.split(F.trim(text_col), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def bit_vote(i):
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)))
+
+    return F.aggregate(
+        bit_idx, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.when(
+            bit_vote(i) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0)))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3
+                      ) -> DataFrame:
+    """SimHash near-dup candidates via 4×16-bit band blocking (any pair
+    within hamming≤3 of a 64-bit hash shares at least one of 4 bands), then
+    exact hamming verify with bit_count."""
+    sh = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    bands = sh.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)])).alias("band", "band_val"))
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band")) &
+                   (F.col("l.band_val") == F.col("r.band_val")) &
+                   (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.col("l.simhash").alias("sh_a"),
+                    F.col("r.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

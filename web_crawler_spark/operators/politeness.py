@@ -1,0 +1,120 @@
+"""Per-host politeness scheduling (T2/T3) + hot-host skew handling.
+
+Reference semantics: one crawler instance per source enforces
+``request_delay`` seconds between consecutive fetches
+(/root/reference/app/scrapers/base_crawler.py:65-70); 429/5xx retried with
+backoff_factor=1 (base_crawler.py:43-48) and the API path sleeps 60 s on 429
+(api/base_fetcher.py:123-126).
+
+Spark realization: the frontier is grouped by host; inside each group an
+Arrow-batched token-bucket assigns monotone ``sched_ts`` honoring the host's
+crawl delay, in (priority, next_fetch_ts, discovered_seq) order — the total
+order the reference's sequential loop induces. Groups are host-sized, which
+per epoch is bounded by the politeness budget itself (a host can only absorb
+epoch_seconds/delay URLs per epoch), so groupBy(host).applyInPandas never
+sees an unbounded group — the natural cap is enforced by ``per_host_budget``.
+
+Skew: the *schedule* must be per-host-sequential, but the downstream
+fetch-join + parse need not be. After scheduling we repartition by
+(host, salt) where hot hosts (row_count > hot_threshold) fan out over
+``n_salt`` deterministic sub-keys — this breaks hot-domain skew in the
+shuffle that feeds the fetch join (north_rule) while politeness ordering
+stays encoded in sched_ts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def schedule_epoch(frontier: DataFrame,
+                   default_delay: float = 1.0,
+                   per_host_budget: int = 10_000,
+                   epoch_start_ts: float = 0.0,
+                   host_delays: Optional[Dict[str, float]] = None,
+                   ) -> DataFrame:
+    """Assign sched_ts per row, per-host token bucket.
+
+    Input frontier columns: host, priority, next_fetch_ts, discovered_seq
+    (+payload). Output adds sched_ts double and keeps only the first
+    ``per_host_budget`` rows per host for this epoch (the rest stay enqueued
+    for the next epoch).
+    """
+    host_delays = host_delays or {}
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in frontier.schema.fields
+    ) + ", sched_ts double"
+
+    # Pre-truncate per host with a window BEFORE the pandas groups so a
+    # 10^7-row hot host never materializes as one pandas DataFrame — the
+    # window sort spills JVM-side; the pandas group is then ≤ budget rows.
+    from pyspark.sql import Window
+    w = Window.partitionBy("host").orderBy(
+        "priority", "next_fetch_ts", "discovered_seq")
+    frontier = (frontier.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= per_host_budget).drop("__rk"))
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        host = pdf["host"].iloc[0]
+        delay = float(host_delays.get(host, default_delay))
+        pdf = pdf.sort_values(
+            ["priority", "next_fetch_ts", "discovered_seq"],
+            kind="mergesort").head(per_host_budget).copy()
+        base = epoch_start_ts + delay
+        sched = base + delay * pd.RangeIndex(len(pdf)).to_numpy(dtype="float64")
+        # a row's own next_fetch_ts (retry backoff) can push it later; keep
+        # the bucket monotone afterwards
+        sched = pd.Series(sched, index=pdf.index)
+        sched = pd.concat([sched, pdf["next_fetch_ts"].astype("float64")],
+                          axis=1).max(axis=1).cummax()
+        pdf["sched_ts"] = sched
+        return pdf
+
+    return frontier.groupBy("host").applyInPandas(assign, schema=out_schema)
+
+
+def hot_host_salts(frontier: DataFrame, hot_threshold: int = 50_000,
+                   n_salt: int = 8) -> Dict[str, int]:
+    """Compute {host: n_sub} for hosts whose epoch row-count exceeds the
+    threshold. One tiny aggregation; result is driver-side (broadcast-size:
+    #hot hosts is small by definition)."""
+    rows = (frontier.groupBy("host").count()
+            .filter(F.col("count") > hot_threshold).collect())
+    return {r["host"]: n_salt for r in rows}
+
+
+def salted_repartition(df: DataFrame, salts: Dict[str, int],
+                       n_partitions: Optional[int] = None) -> DataFrame:
+    """Repartition by (host, salt): cold hosts keep salt 0 (one partition →
+    politeness order trivially preserved); hot hosts spread across n_sub
+    deterministic sub-keys keyed by xxhash64(url)."""
+    salt = F.lit(0)
+    for h, n in salts.items():
+        salt = F.when(F.col("host") == h,
+                      F.pmod(F.xxhash64(F.col("url")), F.lit(int(n)))
+                      ).otherwise(salt)
+    out = df.withColumn("host_salt", salt.cast("int"))
+    if n_partitions:
+        return out.repartition(n_partitions, "host", "host_salt")
+    return out.repartition("host", "host_salt")
+
+
+def backoff_requeue(failed: DataFrame, base_penalty: float = 1.0,
+                    rate_limit_penalty: float = 60.0, max_retries: int = 3
+                    ) -> DataFrame:
+    """Failed fetches → frontier re-entries with exponential-ish backoff:
+    next_fetch_ts += penalty * retries (backoff_factor=1 semantics,
+    base_crawler.py:43-48); 429 rows get the 60 s penalty
+    (base_fetcher.py:123-126). Rows exceeding max_retries are dropped (the
+    reference's Retry(total=3) gives up the same way)."""
+    penalty = F.when(F.col("fetch_status") == "429",
+                     F.lit(rate_limit_penalty)) \
+               .otherwise(F.lit(base_penalty) * (F.col("retries") + 1))
+    return (failed.filter(F.col("retries") < max_retries)
+            .withColumn("retries", F.col("retries") + 1)
+            .withColumn("next_fetch_ts", F.col("sched_ts") + penalty)
+            .drop("fetch_status", "sched_ts"))

@@ -1,0 +1,283 @@
+"""Epoch-driven crawl pipeline — the flagship plan.
+
+One epoch is one DataFrame program (SURVEY.md §7, milestone M1-M4):
+
+    frontier ──schedule(politeness)──┬─ list rows ──fetch-join──links UDF──┐
+        ▲                            └─ article rows ──seen-filter──fetch──┤
+        │                                               join──parse UDF────┤
+        │                                                                  ▼
+    frontier' = (unprocessed ∪ discovered ∪ requeued)      articles.append()
+                                                           metrics.append()
+                                                           checkpoints.append()
+
+Reference lifecycle being reproduced (SURVEY.md §3.1): get_article_urls →
+per-URL parse_article → date filter → batched sink, one source at a time
+(/root/reference/app/scrapers/base_crawler.py:163-226,
+ utils/crawler_manager.py:194-226). The reference's total crawl order is the
+sort order (priority, discovered_seq); politeness sched_ts realizes the
+1-request-per-delay-per-host budget (base_crawler.py:65-70).
+
+Scale notes (the 100 TB story):
+  * "fetch" is a join of the frontier against the pages table on url — an
+    equi shuffle join, salted on hot hosts before the shuffle (AQE skew-join
+    is also on as a backstop). At 10^10 pages both sides are
+    bucket-partitionable by url in Iceberg, making the join co-located.
+  * the seen filter is bloom-shard broadcast + residual anti-join — the only
+    full-table touch of `articles` is column-pruned to `url`.
+  * parse (Arrow UDF) runs only on rows that survived seen+date gates.
+  * every epoch appends to articles/metrics/checkpoints atomically; a crash
+    resumes from the last committed epoch (tables.LakeTable contract).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import canonicalize as canon
+from ..functions import extract as ex
+from ..operators import dedup, politeness
+from ..sources.tables import LakeTable
+
+FRONTIER_DDL = ("url string, host string, kind string, parser_class string, "
+                "source_id bigint, priority int, discovered_seq bigint, "
+                "next_fetch_ts double, retries int, date_str string, "
+                "epoch_added int")
+# priority+discovered_seq persist the reference's crawl order (its
+# articles.id AUTOINCREMENT encodes insertion order, database.py:53-64)
+ARTICLES_DDL = ("source_id bigint, url string, title string, content string, "
+                "published_date string, scraped_date string, epoch int, "
+                "priority int, discovered_seq bigint")
+METRICS_DDL = ("epoch int, host string, fetched bigint, parsed bigint, "
+               "discovered bigint, skipped_dup bigint, skipped_date bigint, "
+               "errors bigint")
+CHECKPOINT_DDL = ("epoch int, watermark_ts double, frontier_in bigint, "
+                  "frontier_out bigint, articles_out bigint")
+
+FRONTIER_COLS = ["url", "host", "kind", "parser_class", "source_id",
+                 "priority", "discovered_seq", "next_fetch_ts", "retries",
+                 "date_str", "epoch_added"]
+
+#: deterministic stand-in for datetime.utcnow().isoformat() (database.py:183)
+SCRAPED_TS = "2024-01-01T00:00:00"
+
+# rank multiplier so (priority, discovered_seq) encodes the reference's
+# sequential source-then-page-order total order in one sortable bigint
+SEQ_STRIDE = 1_000_000
+
+
+@dataclass
+class CrawlConfig:
+    start_date: Optional[str] = None
+    end_date: Optional[str] = None
+    request_delay: float = 1.0           # REQUEST_DELAY (main.py:149)
+    per_host_budget: int = 10_000
+    max_retries: int = 3                 # base_crawler.py:43-48
+    hot_threshold: int = 50_000
+    n_salt: int = 8
+    bloom_fpp: float = 0.01
+    host_delays: Dict[str, float] = field(default_factory=dict)  # robots map
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, workdir: str, pages: DataFrame,
+                 config: Optional[CrawlConfig] = None):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.pages = pages
+        self.frontier = LakeTable(os.path.join(workdir, "frontier"), FRONTIER_DDL)
+        self.articles = LakeTable(os.path.join(workdir, "articles"), ARTICLES_DDL)
+        self.metrics = LakeTable(os.path.join(workdir, "metrics"), METRICS_DDL)
+        self.checkpoints = LakeTable(os.path.join(workdir, "checkpoints"),
+                                     CHECKPOINT_DDL)
+        self._bloom: Optional[dedup.BloomShards] = None
+
+    # ------------------------------------------------------------------ seed
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """seeds(url, source_id, parser_class, priority) → frontier epoch 0.
+        Seeds are list pages (kind='list'); canonicalized like everything."""
+        if not self.frontier.is_empty():
+            return                                    # resume: keep state
+        f = (canon.with_canonical(seeds)
+             .select(
+                 F.col("url_canon").alias("url"), "host",
+                 F.lit("list").alias("kind"),
+                 "parser_class", "source_id",
+                 F.col("priority").cast("int"),
+                 (F.col("priority").cast("bigint") * SEQ_STRIDE)
+                 .alias("discovered_seq"),
+                 F.lit(0.0).alias("next_fetch_ts"),
+                 F.lit(0).alias("retries"),
+                 F.lit(None).cast("string").alias("date_str"),
+                 F.lit(0).alias("epoch_added")))
+        self.frontier.overwrite(f, epoch=0)
+
+    # ----------------------------------------------------------------- epoch
+    def _seen_bloom(self) -> Optional[dedup.BloomShards]:
+        """(Re)build the bloom from the committed articles table. Incremental
+        merge across epochs: each epoch adds only its new rows."""
+        art = self.articles.read(self.spark)
+        if art is None or self.articles.is_empty():
+            return None
+        if self._bloom is None:
+            n = art.count()
+            self._bloom = dedup.BloomShards.sized_for(
+                max(n * 10, 100_000), fpp=self.cfg.bloom_fpp)
+            self._bloom.add_df(art.select("url"), "url")
+        return self._bloom
+
+    def run_epoch(self, epoch: int) -> Dict[str, int]:
+        cfg = self.cfg
+        frontier = self.frontier.read(self.spark)
+        frontier_in = frontier.count()
+        if frontier_in == 0:
+            return {"frontier_in": 0, "articles_out": 0, "frontier_out": 0}
+
+        # 1) politeness schedule: per-host token bucket, epoch budget
+        sched = politeness.schedule_epoch(
+            frontier, default_delay=cfg.request_delay,
+            per_host_budget=cfg.per_host_budget,
+            epoch_start_ts=float(epoch) * cfg.per_host_budget * cfg.request_delay,
+            host_delays=cfg.host_delays)
+        sched = sched.localCheckpoint(eager=True)  # cut lineage per epoch
+        taken_keys = sched.select("url", "discovered_seq")
+        leftover = frontier.join(taken_keys, ["url", "discovered_seq"],
+                                 "left_anti")
+
+        # 2) global seen-filter for article rows (bloom + exact anti-join)
+        arts = sched.filter(F.col("kind") == "article")
+        lists = sched.filter(F.col("kind") == "list")
+        seen_df = None if self.articles.is_empty() \
+            else self.articles.read(self.spark)
+        n_sched_arts = arts.count()
+        fresh = dedup.seen_filter(arts, seen_df, self._seen_bloom(), "url")
+
+        # 3) in-epoch order-preserving dedup (D1): first discovery wins
+        fresh = dedup.first_occurrence(fresh, key="url",
+                                       order_col="discovered_seq")
+
+        # 4) hot-host salting (breaks per-host skew for the downstream
+        #    stages; the url-keyed fetch join itself is skew-free since url
+        #    is unique), then the fetch join against the pages table
+        salts = politeness.hot_host_salts(fresh, cfg.hot_threshold, cfg.n_salt)
+        if salts:
+            fresh = politeness.salted_repartition(fresh, salts).drop("host_salt")
+        to_fetch = fresh.unionByName(lists.select(*fresh.columns))
+        fetched = to_fetch.join(
+            self.pages.select("url", "html"), on="url", how="left")
+        fetched = fetched.withColumn(
+            "fetch_status",
+            F.when(F.col("html").isNotNull(), F.lit("ok")).otherwise(F.lit("404")))
+        fetched = fetched.localCheckpoint(eager=True)
+
+        ok = fetched.filter(F.col("fetch_status") == "ok")
+
+        # 5a) list pages → link extraction (U1) → new frontier article rows
+        links = (ok.filter(F.col("kind") == "list")
+                 .select("url", "parser_class", "source_id", "priority",
+                         "discovered_seq",
+                         F.posexplode_outer(
+                             ex.extract_links_udf()(
+                                 F.col("html"), F.col("url"),
+                                 F.col("parser_class"))).alias("pos", "link"))
+                 .filter(F.col("link").isNotNull()))
+        discovered = (links.select(
+            F.col("link.url").alias("url"),
+            F.lit("article").alias("kind"),
+            "parser_class", "source_id", "priority",
+            (F.col("discovered_seq") + 1 + F.col("pos"))
+            .alias("discovered_seq"),
+            F.lit(0.0).alias("next_fetch_ts"),
+            F.lit(0).alias("retries"),
+            F.col("link.date_str").alias("date_str"),
+            F.lit(epoch + 1).alias("epoch_added")))
+        discovered = (canon.with_canonical(discovered)
+                      .drop("url").withColumnRenamed("url_canon", "url")
+                      .select(*FRONTIER_COLS))
+        # in-page + cross-page dedup of discoveries, order preserved (D1)
+        discovered = dedup.first_occurrence(discovered, "url", "discovered_seq")
+
+        # 5b) article pages → parse UDF → date filter → normalized article rows
+        parsed = ex.parse_articles(
+            ok.filter(F.col("kind") == "article")
+              .withColumnRenamed("url", "url_canon"),
+            start_date=cfg.start_date, end_date=cfg.end_date)
+        out_articles = parsed.select(
+            "source_id", "url", "title", "content", "published_date",
+            F.lit(SCRAPED_TS).alias("scraped_date"),
+            F.lit(epoch).alias("epoch"),
+            "host", "priority", "discovered_seq")
+        out_articles = out_articles.localCheckpoint(eager=True)
+
+        # 6) requeue failures with backoff (sandbox: 404s are terminal like
+        #    the reference's RequestException → skip; 429 faults, if injected
+        #    upstream, do requeue)
+        failed = fetched.filter(F.col("fetch_status") == "429")
+        requeued = politeness.backoff_requeue(
+            failed.select(*[c for c in frontier.columns], "fetch_status",
+                          "sched_ts"),
+            base_penalty=cfg.request_delay, max_retries=cfg.max_retries)
+
+        # 7) metrics + checkpoint + commits (atomic per table, per epoch).
+        #    Per-host lineage (north_rule): fetched/errors exact per host from
+        #    the checkpointed fetch result; parsed per host from the article
+        #    output; skipped_dup is the epoch-total seen-filter drop count.
+        n_parsed = out_articles.count()
+        n_attempted_arts = fetched.filter(F.col("kind") == "article").count()
+        per_host_parsed = out_articles.groupBy("host").agg(
+            F.count("*").alias("parsed"))
+        m = (fetched.groupBy("host").agg(
+                F.sum(F.when(F.col("fetch_status") == "ok", 1).otherwise(0))
+                 .alias("fetched"),
+                F.sum(F.when(F.col("fetch_status") != "ok", 1).otherwise(0))
+                 .alias("errors"))
+             .join(per_host_parsed, "host", "left")
+             .withColumn("parsed", F.coalesce("parsed", F.lit(0)))
+             .withColumn("epoch", F.lit(epoch))
+             .withColumn("discovered", F.lit(0).cast("bigint"))
+             .withColumn("skipped_dup",
+                         F.lit(n_sched_arts - n_attempted_arts).cast("bigint"))
+             .withColumn("skipped_date",
+                         F.lit(n_attempted_arts - n_parsed).cast("bigint"))
+             .select("epoch", "host", "fetched", "parsed", "discovered",
+                     "skipped_dup", "skipped_date", "errors"))
+
+        self.articles.append(
+            out_articles.select("source_id", "url", "title", "content",
+                                "published_date", "scraped_date", "epoch",
+                                "priority", "discovered_seq"),
+            epoch)
+        if self._bloom is not None:
+            self._bloom.add_df(out_articles.select("url"), "url")
+        self.metrics.append(m, epoch)
+
+        new_frontier = leftover.unionByName(discovered).unionByName(
+            requeued.select(*leftover.columns))
+        n_front_out = new_frontier.count()
+        self.frontier.overwrite(new_frontier, epoch + 1)
+        self.checkpoints.append(
+            self.spark.createDataFrame(
+                [(epoch, float(epoch), frontier_in, n_front_out, n_parsed)],
+                schema=CHECKPOINT_DDL), epoch)
+        return {"frontier_in": frontier_in, "articles_out": n_parsed,
+                "frontier_out": n_front_out}
+
+    # ------------------------------------------------------------------- run
+    def run(self, seeds: Optional[DataFrame] = None, max_epochs: int = 10
+            ) -> Dict[str, int]:
+        if seeds is not None:
+            self.bootstrap(seeds)
+        done = self.checkpoints.committed_epochs()
+        start = (max(done) + 1) if done else 0
+        totals = {"epochs": 0, "articles_out": 0}
+        for epoch in range(start, start + max_epochs):
+            stats = self.run_epoch(epoch)
+            totals["epochs"] += 1
+            totals["articles_out"] += stats["articles_out"]
+            if stats["frontier_out"] == 0:
+                break
+        return totals

@@ -1,0 +1,106 @@
+"""Parquet-backed lakehouse tables with atomic epoch commits + resume.
+
+The design targets Iceberg (`writeTo(...).append()`, MERGE, snapshot
+rollback); this sandbox has no Iceberg runtime jar, so the same transactional
+contract is provided by a minimal manifest protocol that maps 1:1 onto
+Iceberg snapshots:
+
+  table/
+    _manifest.json          # {"epochs": [0, 1, ...]}  — committed snapshots
+    epoch=N/part-*.parquet  # one atomic append per epoch
+
+* Writers write epoch=N fully, then commit by atomically rewriting the
+  manifest (os.replace — atomic on POSIX). A crash between data write and
+  manifest commit leaves an orphan directory that the next run overwrites:
+  exactly Iceberg's snapshot-commit semantics (single writer per table, as
+  decided in SURVEY.md §7 "frontier claim semantics").
+* Readers list ONLY manifest-committed epochs — uncommitted data is
+  invisible, so every epoch is all-or-nothing and the pipeline is resumable
+  from the last committed epoch (north_rule checkpoint requirement).
+
+On a real cluster, replace LakeTable with `spark.table(...)` over Iceberg;
+the call sites are isolated here on purpose.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class LakeTable:
+    def __init__(self, path: str, schema_ddl: Optional[str] = None):
+        self.path = path
+        self.schema_ddl = schema_ddl
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def committed_epochs(self) -> List[int]:
+        try:
+            with open(self._manifest_path) as f:
+                return sorted(json.load(f)["epochs"])
+        except FileNotFoundError:
+            return []
+
+    def _commit(self, epoch: int) -> None:
+        epochs = set(self.committed_epochs())
+        epochs.add(epoch)
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"epochs": sorted(epochs)}, f)
+        os.replace(tmp, self._manifest_path)    # atomic snapshot commit
+
+    # -- io ------------------------------------------------------------------
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.path, f"epoch={epoch}")
+
+    def append(self, df: DataFrame, epoch: int) -> None:
+        """Atomic append: write epoch dir (overwriting any uncommitted orphan
+        from a crashed run), then commit the manifest."""
+        d = self._epoch_dir(epoch)
+        if epoch in self.committed_epochs():
+            raise ValueError(f"epoch {epoch} already committed to {self.path}")
+        if os.path.exists(d):
+            shutil.rmtree(d)                    # orphan from a crash — redo
+        df.write.mode("overwrite").parquet(d)
+        self._commit(epoch)
+
+    def overwrite(self, df: DataFrame, epoch: int) -> None:
+        """Replace table contents with df as the single epoch `epoch`
+        (frontier compaction between epochs)."""
+        d = self._epoch_dir(epoch)
+        staging = d + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        df.write.mode("overwrite").parquet(staging)
+        old = [self._epoch_dir(e) for e in self.committed_epochs() if e != epoch]
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.replace(staging, d)
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"epochs": [epoch]}, f)
+        os.replace(tmp, self._manifest_path)
+        for o in old:
+            shutil.rmtree(o, ignore_errors=True)
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        dirs = [self._epoch_dir(e) for e in self.committed_epochs()]
+        dirs = [d for d in dirs if os.path.exists(d)]
+        if not dirs:
+            if self.schema_ddl:
+                return spark.createDataFrame([], schema=self.schema_ddl)
+            return None
+        return spark.read.parquet(*dirs)
+
+    def is_empty(self) -> bool:
+        return not self.committed_epochs()
