@@ -1,0 +1,603 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 plus the training-data-pipeline ops
+has an entry here; __spark_entry__.py re-exports QUERIES/ORACLES. Each Spark
+query and its oracle produce identical column names and value-identical rows
+(the driver hash-compares order-insensitively at sf0.01).
+
+Float discipline: aggregates of doubles are summed as DECIMAL(30,10) (exact,
+order-independent) then rounded and cast to double on BOTH sides, so
+parallel sum order can never flip a hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from . import html_synth
+from .functions import canonicalize as canon
+from .functions import extract as ex
+from .functions import text as T
+from .operators import dedup, similarity
+from .plans.epoch import CrawlConfig, CrawlEngine
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dsum(col, scale: int = 2):
+    """Exact decimal sum of a double column, rounded, emitted as double."""
+    return F.round(F.sum(col.cast("decimal(30,10)")), scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Crawl pipeline over documents-derived pages (the flagship entries)
+# ---------------------------------------------------------------------------
+
+_HOST_SQL = "(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE 1 + doc_id % 19 END)"
+_URL_SQL = ("'https://www.h' || " + _HOST_SQL +
+            " || '.example.com/news/d' || doc_id || '?a=1&b=2'")
+_PUBDATE_SQL = ("strftime(DATE '2024-01-01' + (doc_id % 60)::INT * "
+                "INTERVAL 1 DAY, '%Y-%m-%d')")
+_CONTENT_SQL = "trim(text) || chr(10) || 'End of document ' || doc_id || '.'"
+
+
+@_q("crawl_extract", f"""
+    SELECT {_URL_SQL} AS url,
+           'Doc ' || doc_id AS title,
+           {_CONTENT_SQL} AS content,
+           {_PUBDATE_SQL} AS published_date
+    FROM documents""")
+def crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize raw URLs → fetch-join the pages table → Arrow parse UDF
+    → sink normalization. The M1 slice of the engine as one plan."""
+    pages = html_synth.pages_from_documents(spark, sf_dir)
+    u = html_synth.doc_urls(_t(spark, sf_dir, "documents"))
+    frontier = u.select(
+        F.col("url_raw").alias("url"),
+        F.lit("rbc").alias("parser_class"),
+        F.lit(0).cast("bigint").alias("source_id"),
+        F.lit(0).alias("priority"),
+        F.col("doc_id").alias("discovered_seq"),
+        F.col("pub_date").alias("date_str"))
+    cf = canon.with_canonical(frontier)
+    fetched = cf.join(pages.select(F.col("url").alias("url_canon"), "html"),
+                      "url_canon", "inner")
+    parsed = ex.parse_articles(fetched)
+    return parsed.select("url", "title", "content", "published_date")
+
+
+@_q("crawl_discover", f"""
+    SELECT {_URL_SQL} AS url,
+           {_PUBDATE_SQL} || ' 09:00' AS date_str
+    FROM documents""")
+def crawl_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive list pages → link-extraction UDF → posexplode → canonicalize
+    (U1 + P1/P2/P12 + D1)."""
+    archives = html_synth.archive_pages_from_documents(spark, sf_dir)
+    links = (archives
+             .select(F.posexplode(
+                 ex.extract_links_udf()(
+                     F.col("html"), F.col("url"),
+                     F.lit("rbc"))).alias("pos", "link"))
+             .select(F.col("link.url").alias("url"),
+                     F.col("link.date_str").alias("date_str")))
+    return (canon.with_canonical(links)
+            .select(F.col("url_canon").alias("url"), "date_str"))
+
+
+@_q("crawl_full", f"""
+    SELECT {_URL_SQL} AS url,
+           'Doc ' || doc_id AS title,
+           {_CONTENT_SQL} AS content,
+           {_PUBDATE_SQL} AS published_date
+    FROM documents""")
+def crawl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole engine end-to-end: seeds = archive pages → discover →
+    politeness-scheduled epochs → parse → articles table."""
+    pages = html_synth.pages_from_documents(spark, sf_dir).unionByName(
+        html_synth.archive_pages_from_documents(spark, sf_dir))
+    seeds = (html_synth.archive_pages_from_documents(spark, sf_dir)
+             .select("url").orderBy("url")
+             .withColumn("source_id",
+                         F.row_number().over(Window.orderBy("url"))
+                         .cast("bigint"))
+             .withColumn("parser_class", F.lit("rbc"))
+             .withColumn("priority", F.col("source_id").cast("int")))
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="wcs-q-"), pages,
+                      CrawlConfig(per_host_budget=100_000))
+    eng.run(seeds, max_epochs=3)
+    return eng.articles.read(spark).select(
+        "url", "title", "content", "published_date")
+
+
+@_q("canonicalize_urls", """
+    SELECT doc_id,
+           'http://www.ex' || (doc_id % 7) || '.com/p/' || doc_id ||
+           '?a=1&x=' || (doc_id % 3) AS url
+    FROM documents""")
+def canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizer in isolation: lowercase scheme/host, default-port strip,
+    query sort, fragment strip."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = F.concat(F.lit("HTTP://WWW.EX"), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".COM:80/p/"), F.col("doc_id").cast("string"),
+                   F.lit("?x="), (F.col("doc_id") % 3).cast("string"),
+                   F.lit("&a=1#frag"))
+    return d.select("doc_id",
+                    canon.canonicalize_udf()(raw).alias("url"))
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (S1/J1/J2/A1-A5/O1/D1-D3 analogs on the TPC-H-ish data)
+# ---------------------------------------------------------------------------
+
+@_q("pricing_summary", """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE)
+               AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+               AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+    GROUP BY l_returnflag, l_linestatus""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation — partial aggregation map-side, one
+    shuffle on the 2 grouping cols; predicate pushed to parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "2024-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
+                 _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+@_q("top_revenue_orders", """
+    SELECT o.o_orderkey,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10""")
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (TakeOrderedAndProject)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o.select("o_orderkey"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10))
+
+
+@_q("search_documents", """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE text LIKE '%spark%'
+    ORDER BY doc_id
+    LIMIT 20""")
+def search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 analog: LIKE search + order + limit (database.py:270-299)."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").like("%spark%"))
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id").limit(20))
+
+
+@_q("count_by_source", """
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source""")
+def count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5 — count per source."""
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source").agg(F.count("*").alias("n_docs")))
+
+
+@_q("count_total", "SELECT count(*) AS n_docs FROM documents")
+def count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2."""
+    return _t(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+
+
+@_q("events_on_date", """
+    SELECT count(*) AS n_events FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-05'""")
+def events_on_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — DATE(scraped_date) = ? (database.py:308-316)."""
+    return (_t(spark, sf_dir, "events")
+            .filter(F.to_date("ts") == "2024-01-05")
+            .agg(F.count("*").alias("n_events")))
+
+
+@_q("events_since", """
+    SELECT count(*) AS n_events FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-05'""")
+def events_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — DATE(scraped_date) >= ? (database.py:318-326)."""
+    return (_t(spark, sf_dir, "events")
+            .filter(F.to_date("ts") >= "2024-01-05")
+            .agg(F.count("*").alias("n_events")))
+
+
+@_q("recent_events_topk", """
+    SELECT event_id, event_type, user_id FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 100""")
+def recent_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — ORDER BY ts DESC LIMIT n with unique tiebreak
+    (TakeOrderedAndProject, no full sort)."""
+    return (_t(spark, sf_dir, "events")
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .select("event_id", "event_type", "user_id")
+            .limit(100))
+
+
+@_q("first_event_per_user", """
+    SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1""")
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — deterministic order-preserving dedup via window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"))
+    return ev.filter(F.col("rn") == 1).select("user_id", "event_id")
+
+
+@_q("customers_without_orders", """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 — the URL-seen anti-join in its relational form."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                   "c_custkey", "left_anti")
+            .select("c_custkey"))
+
+
+@_q("events_sessionize", """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped sessionization (30-min gap) as window + agg — the
+    batch twin of the structured-streaming session operator. Gap compare in
+    exact integer microseconds on both sides (no fp boundary)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet gives NTZ
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "new_s",
+        F.when(F.lag(us).over(w).isNull() |
+               (us - F.lag(us).over(w) > 1800 * 1_000_000), 1).otherwise(0))
+    return ev.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
+
+
+@_q("doc_stats", """
+    SELECT count(*) AS total_docs,
+           count(DISTINCT source) AS n_sources,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents""")
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cmd_stats analog (cli.py:110-136) — one pass, no N+1 loop."""
+    return _t(spark, sf_dir, "documents").agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function parity (P7-P12)
+# ---------------------------------------------------------------------------
+
+@_q("summary_projection", """
+    SELECT doc_id,
+           CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
+                ELSE text END AS summary
+    FROM documents""")
+def summary_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — content[:200]+'...' (base_crawler.py:325)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ex.summary_col(F.col("text")).alias("summary"))
+
+
+@_q("content_normalize", """
+    SELECT doc_id,
+           trim(regexp_replace(text || chr(10) || chr(10) || '  ' || chr(10)
+                || text, '\\n\\s*\\n+', chr(10), 'g')) AS content
+    FROM documents""")
+def content_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — sink normalization on synthesized multi-blank-line content."""
+    raw = F.concat(F.col("text"), F.lit("\n\n  \n"), F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ex.normalize_content_col(raw).alias("content"))
+
+
+@_q("csv_flatten", """
+    SELECT doc_id,
+           trim(regexp_replace(text || chr(10) || ' x', '\\s+', ' ', 'g'))
+               AS flat
+    FROM documents""")
+def csv_flatten_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — CSV whitespace flatten (csv_storage.py:102-108)."""
+    raw = F.concat(F.col("text"), F.lit("\n x"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ex.csv_flatten_col(raw).alias("flat"))
+
+
+@_q("iso_to_date", """
+    SELECT event_id, strftime(ts, '%Y-%m-%d') AS event_date FROM events""")
+def iso_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — ISO8601 → YYYY-MM-DD (newsapi_fetcher.py:90-100)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+
+
+@_q("archive_date_extract", """
+    SELECT doc_id,
+           regexp_extract(u, '/(\\d{4})/(\\d{2})/(\\d{2})$', 1) || '-' ||
+           regexp_extract(u, '/(\\d{4})/(\\d{2})/(\\d{2})$', 2) || '-' ||
+           regexp_extract(u, '/(\\d{4})/(\\d{2})/(\\d{2})$', 3) AS archive_date
+    FROM (SELECT doc_id, 'https://h/rus/archive/' ||
+                 replace(""" + _PUBDATE_SQL + """, '-', '/') AS u
+          FROM documents)""")
+def archive_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — regex date extraction from archive URLs
+    (rbc_ukraine_parser.py:110-112)."""
+    d = _t(spark, sf_dir, "documents")
+    u = F.concat(
+        F.lit("https://h/rus/archive/"),
+        F.regexp_replace(F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       F.pmod(F.col("doc_id"), F.lit(60)).cast("int")),
+            "yyyy-MM-dd"), "-", "/"))
+    pat = r"/(\d{4})/(\d{2})/(\d{2})$"
+    return d.select(
+        "doc_id",
+        F.concat_ws("-", F.regexp_extract(u, pat, 1),
+                    F.regexp_extract(u, pat, 2),
+                    F.regexp_extract(u, pat, 3)).alias("archive_date"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops
+# ---------------------------------------------------------------------------
+
+@_q("dedup_exact", """
+    SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+    FROM (SELECT text, doc_id FROM documents
+          UNION ALL SELECT text, doc_id + 100000 FROM documents)
+    GROUP BY md5(text)""")
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a corpus with planted duplicates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup.dedup_exact(d.unionByName(dup)).select("content_md5", "doc_id")
+
+
+@_q("minhash_near_dup", """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200),
+    grams AS (
+      SELECT doc_id, list_distinct(
+          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           for i in generate_series(1, len(t) - 2)]) AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM corpus))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(round(len(list_intersect(a.g, b.g))::DOUBLE /
+                      len(list_distinct(a.g || b.g)), 6) AS DOUBLE) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+          len(list_distinct(a.g || b.g)) >= 0.8""")
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup vs the exact all-pairs truth: with 32 bands of 2
+    hashes, a jaccard≥0.8 pair escapes every band with prob (1-0.8²)^32 ≈
+    4e-15 — LSH output equals the exact oracle; the exact-jaccard verify
+    stage removes all false positives."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+         .select("doc_id", "text"))
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup.minhash_lsh_pairs(d.unionByName(dup), num_hashes=64,
+                                   bands=32, jaccard_threshold=0.8)
+
+
+@_q("simhash_near_dup")  # rows-only: simhash isn't SQL-expressible in DuckDB
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with planted duplicates (hamming 0); invariants
+    (planted pairs found, hamming bound) are pytest-asserted instead."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    out = dedup.simhash_near_dups(d.unionByName(dup), max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@_q("ngram_jaccard_pairs", """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 20),
+    grams AS (
+      SELECT doc_id, list_distinct(
+          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           for i in generate_series(1, len(t) - 2)]) AS g
+      FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(round(len(list_intersect(a.g, b.g))::DOUBLE /
+                      len(list_distinct(a.g || b.g)), 6) AS DOUBLE) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id""")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for all pairs in a small slice (verify kernel of
+    the LSH pipeline, JVM-side array exprs)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20) \
+        .select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(dedup.ngram_jaccard_col(F.col("ta"), F.col("tb"), 3), 6)
+        .cast("double").alias("jaccard"))
+
+
+@_q("token_stats", """
+    SELECT lang,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+               AS BIGINT) AS total_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang""")
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per language."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("n_tok", T.token_count_col(F.col("text")))
+            .groupBy("lang")
+            .agg(F.sum("n_tok").alias("total_tokens"),
+                 F.count("*").alias("n_docs")))
+
+
+@_q("quality_scores", """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens,
+           CAST(round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                / greatest(length(text), 1), 6) AS DOUBLE) AS punct_ratio,
+           len(list_intersect(
+               list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> lower(x)),
+               ['the','a','of','and','to','in','is','it','that','for']))
+               AS stopword_kinds
+    FROM documents""")
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (length/punct/stopword) as pure built-ins."""
+    d = _t(spark, sf_dir, "documents")
+    q = T.quality_cols(F.col("text"))
+    return d.select("doc_id",
+                    q["n_chars"].alias("n_chars"),
+                    q["n_tokens"].alias("n_tokens"),
+                    q["punct_ratio"].cast("double").alias("punct_ratio"),
+                    q["stopword_kinds"].alias("stopword_kinds"))
+
+
+@_q("fingerprint_md5", """
+    SELECT doc_id,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents""")
+def fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 document fingerprint."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint_md5_col(F.col("text")).alias("fingerprint"))
+
+
+@_q("langid", """
+    SELECT doc_id,
+        CASE
+          WHEN h_fr > 0 AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+          WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+          WHEN h_de > 0 THEN 'de'
+          ELSE 'und' END AS lang_pred
+    FROM (SELECT doc_id,
+        len(list_intersect(toks,
+            ['the','a','of','and','to','in','is','it','that','for'])) AS h_en,
+        len(list_intersect(toks,
+            ['der','die','das','und','zu','ist','ein','nicht','mit'])) AS h_de,
+        len(list_intersect(toks,
+            ['le','la','les','et','de','un','une','est','pour'])) AS h_fr
+        FROM (SELECT doc_id, list_transform(
+                  regexp_split_to_array(trim(text), '\\s+'), x -> lower(x))
+                  AS toks FROM documents))""")
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic (argmax with deterministic
+    tie-break, matching the struct-max semantics)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.langid_col(F.col("text")).alias("lang_pred"))
+
+
+@_q("ann_cosine_topk", """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, vec_id,
+           CAST(round(cosine, 4) AS DOUBLE) AS cosine, rank FROM (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.v, q.qv) /
+             (sqrt(list_dot_product(c.v, c.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(c.v, q.qv) /
+                          (sqrt(list_dot_product(c.v, c.v)) *
+                           sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 c.vec_id ASC) AS rank
+      FROM q, c WHERE c.vec_id <> q.query_id)
+    WHERE rank <= 5""")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN baseline): broadcast query
+    side, codegen'd dot products, per-query window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@_q("lsh_cosine_buckets")  # no SQL oracle: seeded-hyperplane LSH (rows-only)
+def lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH banding + in-bucket rerank."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return similarity.lsh_cosine_topk(emb, k=5, n_bits=16, bands=4, dim=64)
+
+
+@_q("winnow_fingerprints")  # no SQL oracle: rolling-hash winnowing (rows-only)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.) via Arrow UDF."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints_udf()(F.col("text")))
+        .alias("fingerprint"))
+
+
+@_q("multimodal_features")  # no SQL oracle: binary decode stub (rows-only)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → mapInPandas feature extraction
+    (decode step stubbed deterministically; see operators/multimodal.py)."""
+    from .operators import multimodal
+    media = multimodal.synth_media(spark, n=128)
+    return multimodal.extract_features(media)

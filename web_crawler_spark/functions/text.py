@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (whole-stage codegen; no
+Python in the row loop): token counting, quality scoring, language ID
+heuristic, fingerprinting. Winnowing fingerprints (rolling hash) are the one
+Arrow/pandas UDF — inherently positional per document.
+
+Each op has a DuckDB-SQL-expressible twin registered in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_RE = r"\s+"
+
+# small, fixed stopword sets for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour"],
+}
+
+
+def tokens_col(text):
+    """Whitespace tokens; empty string → empty array (not [''])."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+                  ).otherwise(F.split(F.trim(text), TOKEN_RE))
+
+
+def token_count_col(text):
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text):
+    """BPE-ish proxy: count of sub-word units = words + intra-word splits on
+    non-alpha boundaries (a cheap deterministic stand-in for a tokenizer)."""
+    return F.size(F.filter(
+        F.split(F.lower(F.trim(text)), r"[^a-z0-9]+"),
+        lambda t: F.length(t) > 0))
+
+
+def quality_cols(text):
+    """Length / punctuation / stopword / mean-word-length features
+    (the classic Gopher/C4-style quality heuristics, built-in exprs)."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_stop = F.size(F.array_intersect(
+        F.transform(toks, lambda t: F.lower(t)),
+        F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    mean_wl = F.when(n_tok > 0,
+                     (n_chars - (n_tok - 1)).cast("double") / n_tok
+                     ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "punct_ratio": F.round(n_punct.cast("double") /
+                               F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_kinds": n_stop.cast("bigint"),
+        "mean_word_len": F.round(mean_wl, 6),
+    }
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    cols = quality_cols(F.col(text_col))
+    out = df
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    return out
+
+
+def langid_col(text):
+    """n-gram-free language-ID heuristic: distinct-stopword hit counts per
+    language; argmax wins, 'und' if nothing hits. Deterministic tie-break by
+    language code order (en < de < fr alphabetical: de, en, fr)."""
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(STOPWORDS):          # deterministic order
+        hits = F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best.getField("hits") > 0,
+                  best.getField("lang")).otherwise(F.lit("und"))
+
+
+def fingerprint_md5_col(text):
+    """Document fingerprint: md5 of whitespace-normalized text — the
+    CSV-flatten normalization (csv_storage.py:102-108) so trivially
+    reformatted duplicates collide."""
+    return F.md5(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+@lru_cache(maxsize=1)
+def winnow_fingerprints_udf(k: int = 5, window: int = 4):
+    """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes, min
+    per window, distinct — positional per doc ⇒ Arrow-batched pandas UDF."""
+    @pandas_udf("array<bigint>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if len(toks) < k:
+                out.append([])
+                continue
+            hs = np.fromiter(
+                (int.from_bytes(
+                    hashlib.blake2b(" ".join(toks[i:i + k]).encode(),
+                                    digest_size=8).digest(), "little")
+                 for i in range(len(toks) - k + 1)),
+                dtype=np.uint64)
+            if len(hs) < window:
+                sel = np.array([hs.min()], dtype=np.uint64)
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+                sel = np.unique(sw.min(axis=1))
+            out.append([int(x) for x in sel.astype(np.int64)])
+        return pd.Series(out)
+    return _winnow

@@ -284,26 +284,33 @@ def ngram_jaccard_col(a, b, n: int = 3):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash over word tokens, pure JVM expressions: per token a
-    64-bit xxhash; the signature bit b is 1 iff sum over tokens of
-    sign(bit b) > 0. Expressed with transform/aggregate (no Python)."""
-    toks = F.array_distinct(F.split(F.trim(text_col), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
-
-    def bit_vote(i):
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)))
-
-    return F.aggregate(
-        bit_idx, F.lit(0).cast("long"),
-        lambda acc, i: acc + F.when(
-            bit_vote(i) > 0,
-            F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0)))
+def simhash_udf():
+    """64-bit SimHash over distinct word tokens (Charikar '02): per token a
+    64-bit blake2b hash; signature bit b is 1 iff the majority of token
+    hashes have bit b set. Arrow-batched, numpy-vectorized bit unpack —
+    the per-row work is O(tokens·64) bit math, a poor fit for expression
+    trees, so this is a deliberate pandas UDF (like minhash)."""
+    @pandas_udf("bigint")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            toks = sorted(set((t or "").split()))
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                    "little") for tok in toks),
+                dtype=np.uint64, count=len(toks))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
+                    np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[j] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+    return _simhash
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
@@ -312,7 +319,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     """SimHash near-dup candidates via 4×16-bit band blocking (any pair
     within hamming≤3 of a 64-bit hash shares at least one of 4 bands), then
     exact hamming verify with bit_count."""
-    sh = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    sh = df.select(F.col(id_col),
+                   simhash_udf()(F.col(text_col)).alias("simhash"))
     bands = sh.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
