@@ -594,6 +594,82 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fingerprint"))
 
 
+@_q("embedding_near_dup", """
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+      WHERE vec_id < 300)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v))), 6) AS DOUBLE)
+                 AS cosine
+      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.95""")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.95) over a corpus
+    with planted exact duplicates — the all-pairs verify kernel; the LSH
+    bucketing in lsh_cosine_buckets is the 10^9-vector scale path. Dot
+    products are whole-stage-codegen array exprs; no Python."""
+    emb = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+           .select("vec_id", "embedding"))
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    c = emb.unionByName(dup)
+    a = c.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = c.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = similarity.with_cosine(pairs, "va", "vb", "cosine")
+    return (scored
+            .select("id_a", "id_b",
+                    F.round("cosine", 6).cast("double").alias("cosine"))
+            .filter(F.col("cosine") >= 0.95))
+
+
+@_q("stream_sessionize", """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id""")
+def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization: watermarked session_window over
+    a multi-micro-batch file stream, append mode, memory sink. Oracle uses
+    gap >= 30min for a session break, matching session_window's half-open
+    [start, last+gap) semantics (the batch events_sessionize uses strict >,
+    the reference's own convention)."""
+    from .streaming import sessions
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    return sessions.stream_sessionize(spark, ev)
+
+
+@_q("csv_roundtrip", f"""
+    SELECT {_URL_SQL} AS url,
+           'Doc ' || doc_id AS title,
+           trim(regexp_replace({_CONTENT_SQL}, '\\s+', ' ', 'g')) AS content,
+           {_PUBDATE_SQL} AS published_date
+    FROM documents""")
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/P9 — the CSV sink: whitespace-flattened content written with
+    header, read back (csv_storage.py:32-108). Round-trips through a real
+    csv file so quoting/escaping is exercised, not assumed."""
+    df = crawl_extract(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="wcs-csv-") + "/articles"
+    (df.select("url", "title",
+               ex.csv_flatten_col(F.col("content")).alias("content"),
+               "published_date")
+       .write.mode("overwrite").option("header", True).csv(out))
+    return spark.read.option("header", True).schema(
+        "url string, title string, content string, published_date string"
+    ).csv(out)
+
+
 @_q("multimodal_features")  # no SQL oracle: binary decode stub (rows-only)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature extraction

@@ -40,6 +40,23 @@ def host_udf():
 
 
 @lru_cache(maxsize=1)
+def canon_host_udf():
+    """url → struct(url_canon, host) in ONE Arrow pass.
+
+    Marked nondeterministic on purpose: it is pure, but the flag stops
+    Catalyst from duplicating the evaluation when a downstream null-filter is
+    pushed through the projection (observed: 3× UDF evaluation of the
+    canonicalizer in the epoch plan without it)."""
+    @pandas_udf("struct<url_canon:string, host:string>")
+    def _ch(urls: pd.Series) -> pd.DataFrame:
+        canon_urls = urls.map(
+            lambda u: refspec.canonicalize_url(u) if u else None)
+        hosts = canon_urls.map(lambda u: refspec.url_host(u) if u else None)
+        return pd.DataFrame({"url_canon": canon_urls, "host": hosts})
+    return _ch.asNondeterministic()
+
+
+@lru_cache(maxsize=1)
 def absolutize_udf():
     @pandas_udf("string")
     def _abs(base: pd.Series, href: pd.Series) -> pd.Series:
@@ -55,11 +72,14 @@ def absolutize_udf():
 
 
 def with_canonical(df, url_col: str = "url") -> "DataFrame":
-    """Add url_canon + host columns; drop rows that fail validity (P2)."""
+    """Add url_canon + host columns; drop rows that fail validity (P2).
+    One Arrow evaluation per row total (see canon_host_udf)."""
     return (df
-            .withColumn("url_canon", canonicalize_udf()(F.col(url_col)))
-            .filter(F.col("url_canon").isNotNull())
-            .withColumn("host", host_udf()(F.col("url_canon"))))
+            .withColumn("__ch", canon_host_udf()(F.col(url_col)))
+            .withColumn("url_canon", F.col("__ch.url_canon"))
+            .withColumn("host", F.col("__ch.host"))
+            .drop("__ch")
+            .filter(F.col("url_canon").isNotNull()))
 
 
 def host_salt(host_col: Column, hot_hosts_salts, n_salt: int = 8) -> Column:

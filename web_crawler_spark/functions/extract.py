@@ -58,7 +58,11 @@ def extract_article_udf():
                 dates.append(art.get("published_date"))
         return pd.DataFrame({"title": titles, "content": contents,
                              "summary": summaries, "published_date": dates})
-    return _extract
+    # Pure, but flagged nondeterministic so Catalyst materializes the struct
+    # ONCE instead of inlining the UDF into every downstream field reference
+    # (observed: 6 evaluations per row in the epoch plan without this — the
+    # parse stage was ~6x slower than the raw extractor).
+    return _extract.asNondeterministic()
 
 
 @lru_cache(maxsize=1)
@@ -80,7 +84,8 @@ def extract_links_udf():
                 links = []
             out.append([{"url": u, "date_str": d} for u, d in links])
         return pd.Series(out)
-    return _links
+    # same single-evaluation guard as extract_article_udf
+    return _links.asNondeterministic()
 
 
 def normalize_content_col(col):

@@ -212,6 +212,46 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_pages_range(spark: SparkSession, n_docs: int, n_hosts: int = 256,
+                      n_partitions: int = 64, para_repeat: int = 6
+                      ) -> DataFrame:
+    """Deterministic pages table from spark.range — no driver data, no UDF,
+    whole-stage-codegen all the way to the parquet write. Used by the
+    scaling benchmark, where both parallelism levels must see byte-identical
+    input. ~30% of docs land on host 0 (Zipf-ish hot-host skew, same knob as
+    _host_id) so the bench exercises the skew path too."""
+    d = spark.range(0, n_docs, 1, n_partitions).withColumnRenamed("id", "doc_id")
+    host = F.concat(
+        F.lit("www.s"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(10)) < 3, F.lit(0))
+         .otherwise(F.lit(1) + F.pmod(F.col("doc_id"), F.lit(n_hosts - 1)))
+         .cast("string"),
+        F.lit(".example.com"))
+    # deterministic pseudo-text: repeated word salad keyed by doc_id
+    words = F.concat_ws(
+        " ", *[F.concat(F.lit(w + "-"),
+                        F.pmod(F.col("doc_id") + i, F.lit(997)).cast("string"))
+               for i, w in enumerate(_WORDS[:12])])
+    para = F.concat(F.lit("<p>"), words, F.lit("</p>"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    html = F.concat(
+        F.lit('<html><body><h1 class="article__title">'), title,
+        F.lit('</h1><div class="article__text">'),
+        F.concat_ws("", F.array_repeat(para, para_repeat)),
+        F.lit('<p>   </p><p>End of document '),
+        F.col("doc_id").cast("string"), F.lit('.</p></div></body></html>'))
+    url = F.concat(F.lit("https://"), host, F.lit("/news/d"),
+                   F.col("doc_id").cast("string"), F.lit("?a=1&b=2"))
+    url_raw = F.concat(F.lit("HTTPS://"), F.upper(host), F.lit("/news/d"),
+                       F.col("doc_id").cast("string"), F.lit("?b=2&a=1#x"))
+    return d.select(
+        F.col("doc_id"), url.alias("url"), url_raw.alias("url_raw"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"))
+
+
 def archive_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One archive/list page per (host, pub_date) listing that day's article
     links in doc_id order — exercises link extraction + explode (U1) with a

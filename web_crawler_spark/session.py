@@ -26,8 +26,19 @@ def get_spark(app_name: str = "web-crawler-spark",
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # html pages are expensive per BYTE (parse UDF ~0.2 ms/KB), so file
+         # splits must be sized for CPU, not IO: small local datasets would
+         # otherwise collapse to 1 split and serialize the parse stage. On a
+         # real cluster with TB-scale inputs raise maxPartitionBytes back to
+         # 128 MB (the default) — splits are plentiful there.
+         .config("spark.sql.files.maxPartitionBytes",
+                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
+         .config("spark.sql.files.openCostInBytes", "262144")
          .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+         # local[32] runs every task in the driver JVM: size the heap for 32
+         # concurrent tasks holding html-payload partitions (8g measured to
+         # GC-thrash a 32-thread shuffle-hash join; box has 128 GiB)
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false"))
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,74 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+The epoch loop (plans/epoch.py) is the engine's production micro-batch
+mechanism; this module shows the same semantics expressed on Spark's
+Structured Streaming runtime, for pipelines that want push-based ingest:
+
+* :func:`stream_sessionize` — watermarked ``session_window`` aggregation
+  over a file stream, append mode, results landed in a memory sink. The
+  streaming twin of the batch sessionization query (driver_queries.
+  events_sessionize): same 30-minute-gap session definition, evaluated
+  incrementally with state cleanup by watermark.
+
+Reference analogs being modeled (/root/reference/app):
+  * micro-batching via the 10-article ``on_batch`` callback —
+    scrapers/base_crawler.py:163-226 → micro-batch triggers
+  * late data silently dropped by the date filter —
+    base_crawler.py:200 → watermark semantics
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GAP = "30 minutes"
+
+
+def stream_sessionize(spark: SparkSession, events: DataFrame,
+                      gap: str = GAP, files_per_trigger: int = 2
+                      ) -> DataFrame:
+    """Run a full streaming sessionization over `events` (user_id, event_id,
+    ts timestamp) and return the finalized per-user session counts.
+
+    Mechanics: events are staged as a multi-file parquet source so the
+    stream sees several micro-batches; a sentinel event 2 days past max(ts)
+    pushes the watermark past every real session so append mode flushes all
+    of them (the sentinel user is filtered from the result). State size is
+    bounded by the watermark — at production scale this is the operator you
+    run on a Kafka/file stream of fetch logs.
+    """
+    workdir = tempfile.mkdtemp(prefix="wcs-stream-")
+    src = os.path.join(workdir, "src")
+    ck = os.path.join(workdir, "ck")
+    ev = events.select("user_id", "event_id",
+                       F.col("ts").cast("timestamp").alias("ts"))
+    ev.repartition(4).write.parquet(src)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, -1, max_ts + _dt.timedelta(days=2))],
+        schema="user_id bigint, event_id bigint, ts timestamp")
+    sentinel.write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", files_per_trigger)
+              .parquet(src)
+              .withWatermark("ts", "1 second")
+              .groupBy(F.session_window("ts", gap), F.col("user_id"))
+              .agg(F.count("*").alias("n_events")))
+    qname = "sessions_" + uuid.uuid4().hex[:8]
+    q = (stream.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ck).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(qname)
+            .filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_sessions")))
