@@ -95,6 +95,7 @@ class CrawlEngine:
         self.checkpoints = LakeTable(os.path.join(workdir, "checkpoints"),
                                      CHECKPOINT_DDL)
         self._bloom: Optional[dedup.BloomShards] = None
+        self._frontier_rows: Optional[int] = None  # carried across epochs
 
     # ------------------------------------------------------------------ seed
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -133,7 +134,10 @@ class CrawlEngine:
     def run_epoch(self, epoch: int) -> Dict[str, int]:
         cfg = self.cfg
         frontier = self.frontier.read(self.spark)
-        frontier_in = frontier.count()
+        # carried from the previous epoch's frontier write (one count saved)
+        frontier_in = self._frontier_rows
+        if frontier_in is None:
+            frontier_in = frontier.count()
         if frontier_in == 0:
             return {"frontier_in": 0, "articles_out": 0, "frontier_out": 0}
 
@@ -153,7 +157,7 @@ class CrawlEngine:
         lists = sched.filter(F.col("kind") == "list")
         seen_df = None if self.articles.is_empty() \
             else self.articles.read(self.spark)
-        n_sched_arts = arts.count()
+        n_sched_arts = arts.count()  # cheap: sched is checkpointed
         fresh = dedup.seen_filter(arts, seen_df, self._seen_bloom(), "url")
 
         # 3) in-epoch order-preserving dedup (D1): first discovery wins
@@ -255,10 +259,13 @@ class CrawlEngine:
             self._bloom.add_df(out_articles.select("url"), "url")
         self.metrics.append(m, epoch)
 
+        # write once, then count the written parquet (footer metadata — no
+        # recompute of the anti-join + discovery lineage)
         new_frontier = leftover.unionByName(discovered).unionByName(
             requeued.select(*leftover.columns))
-        n_front_out = new_frontier.count()
         self.frontier.overwrite(new_frontier, epoch + 1)
+        n_front_out = self.frontier.read(self.spark).count()
+        self._frontier_rows = n_front_out
         self.checkpoints.append(
             self.spark.createDataFrame(
                 [(epoch, float(epoch), frontier_in, n_front_out, n_parsed)],
