@@ -670,6 +670,58 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(out)
 
 
+@_q("source_upsert", """
+    SELECT 'https://s' || doc_id AS url,
+           CASE WHEN doc_id < 300 THEN 'old-' || doc_id
+                ELSE 'new-' || doc_id END AS name
+    FROM documents WHERE doc_id < 450""")
+def source_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — idempotent source registry upsert (MERGE ON url): batch 1
+    registers 0..299 as 'old', batch 2 re-submits 150..449 as 'new';
+    existing keys keep their original row (database.py:96-125 semantics)."""
+    from .sources.tables import LakeTable
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://s"), F.col("doc_id").cast("string"))
+    b1 = d.filter(F.col("doc_id") < 300).select(
+        url.alias("url"),
+        F.concat(F.lit("old-"), F.col("doc_id").cast("string")).alias("name"))
+    b2 = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 450)).select(
+        url.alias("url"),
+        F.concat(F.lit("new-"), F.col("doc_id").cast("string")).alias("name"))
+    t = LakeTable(tempfile.mkdtemp(prefix="wcs-src-") + "/sources",
+                  "url string, name string")
+    t.merge(spark, b1, "url", 0)
+    t.merge(spark, b2, "url", 1)
+    return t.read(spark)
+
+
+@_q("articles_search", f"""
+    SELECT a.url, a.title, 'src-' || a.source_id AS source_name,
+           a.published_date
+    FROM (SELECT {_URL_SQL} AS url, 'Doc ' || doc_id AS title,
+                 {_CONTENT_SQL} AS content, {_PUBDATE_SQL} AS published_date,
+                 {_HOST_SQL} AS source_id
+          FROM documents) a
+    WHERE (a.title LIKE '%spark%' OR a.content LIKE '%spark%')
+    ORDER BY a.published_date DESC, a.url DESC
+    LIMIT 50""")
+def articles_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/O1 through the library query surface (queries.search): keyword
+    LIKE over the crawled articles table, broadcast join to the sources dim,
+    deterministic top-k (cli.py search → database.py:270-299)."""
+    from . import queries as Q
+    arts = crawl_extract(spark, sf_dir).withColumn(
+        "source_id",
+        F.regexp_extract(F.col("url"), r"h(\d+)\.example", 1).cast("bigint"))
+    sources = (arts.select("source_id").distinct()
+               .select(F.col("source_id").alias("id"),
+                       F.concat(F.lit("src-"),
+                                F.col("source_id").cast("string")).alias("name"),
+                       F.lit(1).alias("is_active")))
+    hits = Q.search(arts, sources, "spark", limit=50)
+    return hits.select("url", "title", "source_name", "published_date")
+
+
 @_q("multimodal_features")  # no SQL oracle: binary decode stub (rows-only)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature extraction

@@ -81,6 +81,10 @@ class CrawlConfig:
     n_salt: int = 8
     bloom_fpp: float = 0.01
     host_delays: Dict[str, float] = field(default_factory=dict)  # robots map
+    #: broadcast robots rules {host: (crawl_delay, [disallow_prefix, ...])}
+    #: built via operators.robots.collect_rules; delays merged into
+    #: host_delays at engine init, prefixes filter the frontier each epoch
+    robots_rules: Dict[str, tuple] = field(default_factory=dict)
 
 
 class CrawlEngine:
@@ -96,6 +100,12 @@ class CrawlEngine:
                                      CHECKPOINT_DDL)
         self._bloom: Optional[dedup.BloomShards] = None
         self._frontier_rows: Optional[int] = None  # carried across epochs
+        if self.cfg.robots_rules:
+            from ..operators import robots
+            merged = robots.host_delays(self.cfg.robots_rules,
+                                        self.cfg.request_delay)
+            merged.update(self.cfg.host_delays)   # explicit config wins
+            self.cfg.host_delays = merged
 
     # ------------------------------------------------------------------ seed
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -140,6 +150,11 @@ class CrawlEngine:
             frontier_in = frontier.count()
         if frontier_in == 0:
             return {"frontier_in": 0, "articles_out": 0, "frontier_out": 0}
+
+        # 0) robots gate: disallowed paths never reach the scheduler
+        if self.cfg.robots_rules:
+            from ..operators import robots
+            frontier = robots.filter_allowed(frontier, self.cfg.robots_rules)
 
         # 1) politeness schedule: per-host token bucket, epoch budget
         sched = politeness.schedule_epoch(

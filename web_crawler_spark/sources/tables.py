@@ -93,6 +93,20 @@ class LakeTable:
         for o in old:
             shutil.rmtree(o, ignore_errors=True)
 
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str,
+              epoch: int) -> None:
+        """Idempotent upsert (Iceberg `MERGE INTO ... ON key` equivalent):
+        existing rows win on key collision, new keys are appended — the
+        reference's add-source semantics (get_by_url-else-create,
+        /root/reference/app/models/database.py:96-125). Single-writer, like
+        every LakeTable op; on Iceberg this is one MERGE statement."""
+        cur = self.read(spark)
+        if cur is None or self.is_empty():
+            self.overwrite(updates, epoch)
+            return
+        fresh = updates.join(cur.select(key), key, "left_anti")
+        self.overwrite(cur.unionByName(fresh), epoch)
+
     def read(self, spark: SparkSession) -> Optional[DataFrame]:
         dirs = [self._epoch_dir(e) for e in self.committed_epochs()]
         dirs = [d for d in dirs if os.path.exists(d)]
