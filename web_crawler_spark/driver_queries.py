@@ -129,6 +129,33 @@ def crawl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "title", "content", "published_date")
 
 
+@_q("seed_gen", """
+    SELECT 'archive' AS kind,
+           'https://www.rbc.ua/rus/archive/' ||
+           strftime(d::DATE, '%Y/%m/%d') AS url
+    FROM generate_series(DATE '2024-01-01', DATE '2024-03-15',
+                         INTERVAL 1 DAY) AS t(d)
+    UNION ALL
+    SELECT 'page', 'https://www.investing.com/news/latest-news/' || p
+    FROM generate_series(1, 40) AS s(p)""")
+def seed_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 — frontier seed generation, fully JVM-side: one archive URL per
+    day in a date range (rbc_ukraine_parser.py:68-92) and one list URL per
+    page number (investing_parser.py:43-48)."""
+    days = spark.sql("""
+        SELECT explode(sequence(to_date('2024-01-01'), to_date('2024-03-15'),
+                                interval 1 day)) AS d""")
+    archive = days.select(
+        F.lit("archive").alias("kind"),
+        F.concat(F.lit("https://www.rbc.ua/rus/archive/"),
+                 F.date_format("d", "yyyy/MM/dd")).alias("url"))
+    pages = spark.range(1, 41).select(
+        F.lit("page").alias("kind"),
+        F.concat(F.lit("https://www.investing.com/news/latest-news/"),
+                 F.col("id").cast("string")).alias("url"))
+    return archive.unionByName(pages)
+
+
 @_q("canonicalize_urls", """
     SELECT doc_id,
            'http://www.ex' || (doc_id % 7) || '.com/p/' || doc_id ||
@@ -720,6 +747,49 @@ def articles_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(1).alias("is_active")))
     hits = Q.search(arts, sources, "spark", limit=50)
     return hits.select("url", "title", "source_name", "published_date")
+
+
+@_q("api_ingest", f"""
+    SELECT 'https://api.example/a' || doc_id AS url,
+           'Doc ' || doc_id AS title,
+           trim(text) AS content,
+           'author-' || (doc_id % 7) AS author,
+           'src-' || (doc_id % 5) AS source_name,
+           {_PUBDATE_SQL} AS published_date,
+           'About doc ' || doc_id AS summary,
+           (doc_id // 10 + 1) * 1000000 + (doc_id % 10) AS discovered_seq
+    FROM documents WHERE doc_id % 97 <> 0""")
+def api_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/P14 — paginated REST-API ingest: 10 articles per JSON page body,
+    from_json + posexplode + schema transform, no-title rows dropped
+    (newsapi_fetcher.py:181-302,136-179). JSON built and parsed JVM-side."""
+    from .sources import api_adapter
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    art = F.struct(
+        F.struct(F.concat(F.lit("src-"), (F.col("doc_id") % 5).cast("string"))
+                 .alias("name")).alias("source"),
+        F.concat(F.lit("author-"), (F.col("doc_id") % 7).cast("string"))
+         .alias("author"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(""))   # dropped at the sink
+         .otherwise(F.concat(F.lit("Doc "), F.col("doc_id").cast("string")))
+         .alias("title"),
+        F.concat(F.lit("About doc "), F.col("doc_id").cast("string"))
+         .alias("description"),
+        F.concat(F.lit("https://api.example/a"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.concat(F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       F.pmod(F.col("doc_id"), F.lit(60)).cast("int")),
+            "yyyy-MM-dd"), F.lit("T00:00:00Z")).alias("publishedAt"),
+        F.trim(F.col("text")).alias("content"))
+    pages = (d.select((F.col("doc_id") / 10 + 1).cast("bigint").alias("page"),
+                      F.col("doc_id"), art.alias("a"))
+             .groupBy("page")
+             .agg(F.to_json(F.struct(
+                 F.lit("ok").alias("status"),
+                 F.array_sort(F.collect_list(F.struct("doc_id", "a")))
+                 .getField("a").alias("articles"))).alias("body")))
+    return api_adapter.articles_from_json_pages(pages)
 
 
 @_q("multimodal_features")  # no SQL oracle: binary decode stub (rows-only)
