@@ -128,3 +128,20 @@ def test_metrics_and_checkpoints_written(spark, engine):
     cp = engine.checkpoints.read(spark).orderBy("epoch").collect()
     assert [r["epoch"] for r in cp] == list(range(len(cp)))
     assert cp[-1]["frontier_out"] == 0     # drained
+
+
+def test_hot_host_salting_preserves_results(spark, tmp_path, web, golden):
+    """With an aggressive hot threshold every host salts across sub-keys;
+    the article set must be identical to the unsalted run (salting changes
+    partitioning, never results)."""
+    from web_crawler_spark import html_synth
+    from web_crawler_spark.plans.epoch import CrawlConfig, CrawlEngine
+    pages = html_synth.pages_df(spark, web, n_partitions=4)
+    seeds = html_synth.seeds_df(spark, web)
+    eng = CrawlEngine(spark, str(tmp_path / "salted"), pages,
+                      CrawlConfig(hot_threshold=1, n_salt=4))
+    eng.run(seeds, max_epochs=4)
+    got = {(r.url, r.content) for r in
+           eng.articles.read(spark).select("url", "content").collect()}
+    want = {(a["url"], a["content"]) for a in golden["articles"]}
+    assert got == want
