@@ -128,6 +128,15 @@ def test_metrics_and_checkpoints_written(spark, engine):
     cp = engine.checkpoints.read(spark).orderBy("epoch").collect()
     assert [r["epoch"] for r in cp] == list(range(len(cp)))
     assert cp[-1]["frontier_out"] == 0     # drained
+    # per-partition watermarked lineage (north_rule): every epoch has >=1
+    # partition row; watermarks carry the politeness clock (monotone >= 0)
+    pck = engine.partition_checkpoints.read(spark).collect()
+    by_epoch = {}
+    for r in pck:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == set(range(len(cp)))
+    assert all(r["watermark_ts"] >= 0 and r["rows_in"] >= r["rows_out"] >= 0
+               for r in pck)
 
 
 def test_hot_host_salting_preserves_results(spark, tmp_path, web, golden):

@@ -57,6 +57,11 @@ METRICS_DDL = ("epoch int, host string, fetched bigint, parsed bigint, "
                "errors bigint")
 CHECKPOINT_DDL = ("epoch int, watermark_ts double, frontier_in bigint, "
                   "frontier_out bigint, articles_out bigint")
+# per-partition lineage rows (north_rule: per-partition watermarked
+# checkpoints): one row per physical fetch partition per epoch; watermark is
+# the partition's max politeness-clock sched_ts
+PARTITION_CK_DDL = ("epoch int, partition_id int, watermark_ts double, "
+                    "rows_in bigint, rows_out bigint")
 
 FRONTIER_COLS = ["url", "host", "kind", "parser_class", "source_id",
                  "priority", "discovered_seq", "next_fetch_ts", "retries",
@@ -98,6 +103,8 @@ class CrawlEngine:
         self.metrics = LakeTable(os.path.join(workdir, "metrics"), METRICS_DDL)
         self.checkpoints = LakeTable(os.path.join(workdir, "checkpoints"),
                                      CHECKPOINT_DDL)
+        self.partition_checkpoints = LakeTable(
+            os.path.join(workdir, "partition_checkpoints"), PARTITION_CK_DDL)
         self._bloom: Optional[dedup.BloomShards] = None
         self._frontier_rows: Optional[int] = None  # carried across epochs
         if self.cfg.robots_rules:
@@ -265,14 +272,28 @@ class CrawlEngine:
              .select("epoch", "host", "fetched", "parsed", "discovered",
                      "skipped_dup", "skipped_date", "errors"))
 
+        # per-partition watermarked lineage from the checkpointed fetch
+        # result: partition id = the physical partition that fetched the row,
+        # watermark = that partition's politeness clock high-water mark
+        part_ck = (fetched
+                   .groupBy(F.spark_partition_id().alias("partition_id"))
+                   .agg(F.max("sched_ts").alias("watermark_ts"),
+                        F.count("*").alias("rows_in"),
+                        F.sum(F.when(F.col("fetch_status") == "ok", 1)
+                              .otherwise(0)).alias("rows_out"))
+                   .withColumn("epoch", F.lit(epoch))
+                   .select("epoch", "partition_id", "watermark_ts",
+                           "rows_in", "rows_out"))
+        self.partition_checkpoints.append(part_ck, epoch, replace=True)
+
         self.articles.append(
             out_articles.select("source_id", "url", "title", "content",
                                 "published_date", "scraped_date", "epoch",
                                 "priority", "discovered_seq"),
-            epoch)
+            epoch, replace=True)
         if self._bloom is not None:
             self._bloom.add_df(out_articles.select("url"), "url")
-        self.metrics.append(m, epoch)
+        self.metrics.append(m, epoch, replace=True)
 
         # write once, then count the written parquet (footer metadata — no
         # recompute of the anti-join + discovery lineage)

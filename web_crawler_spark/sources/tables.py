@@ -63,11 +63,16 @@ class LakeTable:
     def _epoch_dir(self, epoch: int) -> str:
         return os.path.join(self.path, f"epoch={epoch}")
 
-    def append(self, df: DataFrame, epoch: int) -> None:
+    def append(self, df: DataFrame, epoch: int, replace: bool = False) -> None:
         """Atomic append: write epoch dir (overwriting any uncommitted orphan
-        from a crashed run), then commit the manifest."""
+        from a crashed run), then commit the manifest.
+
+        replace=True makes the append replay-safe: a crashed epoch whose
+        append committed but whose *pipeline* checkpoint (the last table
+        committed in run_epoch) did not is rewritten on replay instead of
+        raising — exactly-once output per epoch either way."""
         d = self._epoch_dir(epoch)
-        if epoch in self.committed_epochs():
+        if epoch in self.committed_epochs() and not replace:
             raise ValueError(f"epoch {epoch} already committed to {self.path}")
         if os.path.exists(d):
             shutil.rmtree(d)                    # orphan from a crash — redo
