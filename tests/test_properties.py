@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the pure kernels the engine's
+correctness rests on — no Spark session needed, so these are fast and run
+thousands of cases."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_crawler_spark import refspec
+
+url_text = st.text(
+    alphabet=string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=.-_~%",
+    max_size=120)
+any_text = st.text(max_size=400)
+html_ish = st.text(
+    alphabet=string.ascii_letters + string.digits + " <>/=\"'&;#\n\t.",
+    max_size=600)
+
+
+@settings(max_examples=300)
+@given(url_text)
+def test_canonicalize_idempotent(u):
+    c = refspec.canonicalize_url(u)
+    if c is not None:
+        assert refspec.canonicalize_url(c) == c
+
+
+@settings(max_examples=300)
+@given(url_text)
+def test_canonicalize_invariants(u):
+    c = refspec.canonicalize_url(u)
+    if c is None:
+        return
+    assert "#" not in c                       # fragment stripped
+    scheme, _, rest = c.partition("://")
+    assert scheme == scheme.lower()
+    host = rest.split("/", 1)[0].split("?", 1)[0]
+    assert host == host.lower()
+    # sorted query params
+    if "?" in c:
+        q = c.split("?", 1)[1]
+        keys = [p.split("=", 1)[0] for p in q.split("&") if p]
+        assert keys == sorted(keys)
+
+
+@settings(max_examples=300)
+@given(any_text)
+def test_normalize_content_idempotent(t):
+    once = refspec.normalize_content(t)
+    assert refspec.normalize_content(once) == once
+    assert "\n\n" not in once
+    assert once == once.strip()
+
+
+@settings(max_examples=300)
+@given(any_text)
+def test_csv_flatten_idempotent(t):
+    once = refspec.csv_flatten(t)
+    assert refspec.csv_flatten(once) == once
+    assert "\n" not in once and "\t" not in once
+
+
+@settings(max_examples=200)
+@given(html_ish)
+def test_dom_parser_never_crashes(h):
+    """The mini-DOM + extractors must be total over arbitrary tag soup
+    (reference behavior: parse errors -> skip row, never crash the epoch)."""
+    art = refspec.extract_article(h.encode("utf-8", "ignore"), "rbc")
+    assert art is None or isinstance(art, dict)
+    links = refspec.extract_links(h.encode("utf-8", "ignore"),
+                                  "https://x.example/a", "rbc")
+    assert isinstance(links, list)
+
+
+@settings(max_examples=100)
+@given(st.lists(st.sampled_from(["/news/a1", "/news/a2", "/news/a3",
+                                 "/news/a4"]), min_size=1, max_size=12))
+def test_extract_links_order_preserving_dedup(hrefs):
+    """Link extraction dedups like list(dict.fromkeys(...)): first
+    occurrence wins, page order kept (base_crawler.py:278)."""
+    body = "".join(f'<div><a href="{h}">x</a></div>' for h in hrefs)
+    html = f'<html><body><div class="newsline">{body}</div></body></html>'
+    links = refspec.extract_links(html.encode(), "https://www.rbc.ua/x", "rbc")
+    got = [u.split("rbc.ua")[1].split("?")[0] for u, _ in links]
+    assert got == list(dict.fromkeys(hrefs))

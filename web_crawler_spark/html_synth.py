@@ -73,8 +73,17 @@ def synth_web(n_articles: int = 200, n_hosts: int = 8, seed: int = 42,
         n_paras = rng.randrange(1, 5)
         paras = []
         for _ in range(n_paras):
-            words = " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(5, 30)))
-            paras.append(f"<p>{words}</p>")
+            toks = [rng.choice(_WORDS) for _ in range(rng.randrange(5, 30))]
+            # nested inline tags + entities (FIXTURES.md §1): exercises
+            # get_text over descendants and charref decoding
+            r = rng.random()
+            if r < 0.25 and len(toks) > 2:
+                toks[1] = f"<strong>{toks[1]}</strong>"
+            elif r < 0.4 and len(toks) > 3:
+                toks[2] = f'<a href="/news/x{aid}"><em>{toks[2]}</em></a>'
+            if rng.random() < 0.2:
+                toks.append("A&amp;B &lt;tag&gt;")
+            paras.append(f"<p>{' '.join(toks)}</p>")
         if rng.random() < 0.25:
             paras.insert(rng.randrange(len(paras) + 1), "<p>   </p>")  # empty para
         title = "" if rng.random() < broken_frac else \
