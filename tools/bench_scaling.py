@@ -64,6 +64,9 @@ def _mp_control(procs: int, per: int = 30000) -> float:
     r = subprocess.run(["taskset", "-c", f"0-{procs-1}",
                         sys.executable, "-c", code],
                        capture_output=True, text=True, timeout=600)
+    if r.returncode != 0 or not r.stdout.strip():
+        print(r.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"machine control failed (procs={procs})")
     return per * procs / float(r.stdout.strip().splitlines()[-1])
 
 

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--pages", default=None,
                     help="existing pages parquet; default: synthesize")
     args = ap.parse_args()
+    if args.pages:
+        ap.error("--pages (external corpus mode) is not wired yet: "
+                 "provide a seeds source for your corpus and remove this guard")
 
     # spark-submit provides the session config (master, memory, py-files)
     spark = SparkSession.builder.appName("wcs-crawl").getOrCreate()
@@ -38,10 +41,6 @@ def main() -> None:
     from web_crawler_spark import html_synth
     from web_crawler_spark.plans.epoch import CrawlConfig, CrawlEngine
 
-    if args.pages:
-        pages = spark.read.parquet(args.pages)
-        seeds = None
-        raise SystemExit("external pages mode: wire seeds for your corpus")
     web = html_synth.synth_web(n_articles=args.n_docs // 10 or 10,
                                n_hosts=args.n_hosts, seed=42)
     pages = html_synth.pages_df(spark, web, n_partitions=16)

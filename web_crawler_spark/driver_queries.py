@@ -12,7 +12,6 @@ parallel sum order can never flip a hash.
 
 from __future__ import annotations
 
-import tempfile
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -20,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from . import html_synth
+from .util import scratch_dir
 from .functions import canonicalize as canon
 from .functions import extract as ex
 from .functions import text as T
@@ -122,7 +122,7 @@ def crawl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("bigint"))
              .withColumn("parser_class", F.lit("rbc"))
              .withColumn("priority", F.col("source_id").cast("int")))
-    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="wcs-q-"), pages,
+    eng = CrawlEngine(spark, scratch_dir("wcs-q-"), pages,
                       CrawlConfig(per_host_budget=100_000))
     eng.run(seeds, max_epochs=3)
     return eng.articles.read(spark).select(
@@ -687,7 +687,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     header, read back (csv_storage.py:32-108). Round-trips through a real
     csv file so quoting/escaping is exercised, not assumed."""
     df = crawl_extract(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="wcs-csv-") + "/articles"
+    out = scratch_dir("wcs-csv-") + "/articles"
     (df.select("url", "title",
                ex.csv_flatten_col(F.col("content")).alias("content"),
                "published_date")
@@ -715,7 +715,7 @@ def source_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 450)).select(
         url.alias("url"),
         F.concat(F.lit("new-"), F.col("doc_id").cast("string")).alias("name"))
-    t = LakeTable(tempfile.mkdtemp(prefix="wcs-src-") + "/sources",
+    t = LakeTable(scratch_dir("wcs-src-") + "/sources",
                   "url string, name string")
     t.merge(spark, b1, "url", 0)
     t.merge(spark, b2, "url", 1)

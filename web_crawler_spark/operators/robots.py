@@ -41,17 +41,29 @@ def parse_robots(body: str, agent: str = "*") -> Tuple[float, List[str]]:
     allow-all (per the de-facto standard)."""
     sections: Dict[str, Dict[str, object]] = {}
     current: List[str] = []
+    prev_was_agent = False
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
+        if not line:
+            prev_was_agent = False      # blank line terminates a group
+            continue
+        if ":" not in line:
             continue
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
             sections.setdefault(val.lower(), {"delay": None, "dis": []})
-            current = [val.lower()]
-        elif key == "disallow" and current:
+            # consecutive User-agent lines form ONE group sharing the rules
+            # that follow (robots de-facto standard)
+            if prev_was_agent:
+                current.append(val.lower())
+            else:
+                current = [val.lower()]
+            prev_was_agent = True
+            continue
+        prev_was_agent = False
+        if key == "disallow" and current:
             if val:
                 for a in current:
                     sections[a]["dis"].append(val)
@@ -96,19 +108,40 @@ def collect_rules(rules: DataFrame) -> Dict[str, Tuple[float, List[str]]]:
             for r in rules.collect()}
 
 
+#: above this many (host, prefix) pairs the inlined-expression filter would
+#: build an unboundedly deep boolean tree (analysis blowup / codegen
+#: fallback); switch to the broadcast anti-join plan instead
+MAX_INLINE_RULES = 64
+
+
 def filter_allowed(frontier: DataFrame,
                    rules: Dict[str, Tuple[float, List[str]]],
                    url_col: str = "url", host_col: str = "host"
                    ) -> DataFrame:
     """Drop rows whose URL path starts with a disallowed prefix for its
-    host. Pure Column expression over the broadcast map — whole-stage
-    codegen, no Python; hosts without rules are allow-all."""
+    host; hosts without rules are allow-all.
+
+    Small rule maps inline as a Column expression (whole-stage codegen, no
+    join). Large maps — the web-scale shape, millions of hosts — become a
+    broadcast LEFT ANTI join against the exploded (host, prefix) rules:
+    one broadcast, no expression-tree blowup."""
+    pairs = [(h, p) for h, (_d, ps) in rules.items() for p in ps]
+    if not pairs:
+        return frontier
     path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]+", "")
-    cond = F.lit(True)
-    for host, (_delay, prefixes) in rules.items():
-        for p in prefixes:
+    if len(pairs) <= MAX_INLINE_RULES:
+        cond = F.lit(True)
+        for host, p in pairs:
             cond = cond & ~((F.col(host_col) == host) & path.startswith(p))
-    return frontier.filter(cond)
+        return frontier.filter(cond)
+    spark = frontier.sparkSession
+    rules_df = spark.createDataFrame(pairs, schema="__r_host string, __r_prefix string")
+    return (frontier.withColumn("__path", path)
+            .join(F.broadcast(rules_df),
+                  (F.col(host_col) == F.col("__r_host")) &
+                  F.col("__path").startswith(F.col("__r_prefix")),
+                  "left_anti")
+            .drop("__path"))
 
 
 def host_delays(rules: Dict[str, Tuple[float, List[str]]],

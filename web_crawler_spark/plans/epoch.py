@@ -295,17 +295,27 @@ class CrawlEngine:
             self._bloom.add_df(out_articles.select("url"), "url")
         self.metrics.append(m, epoch, replace=True)
 
-        # write once, then count the written parquet (footer metadata — no
-        # recompute of the anti-join + discovery lineage)
+        # Commit order is the crash-safety contract:
+        #   stage new frontier (old frontier still committed)
+        #   -> pipeline checkpoint commit (epoch is now "done")
+        #   -> frontier manifest swap.
+        # Crash before the checkpoint: replay of epoch N sees the ORIGINAL
+        # frontier — replace=True appends rewrite identical output.
+        # Crash between checkpoint and frontier swap: restart begins at N+1
+        # over the stale epoch-N frontier — already-stored articles are
+        # seen-filtered, so the result is wasted work, never loss or dups.
+        # (The previous order — frontier first — let a replay run epoch N
+        # against the ADVANCED frontier and destroy epoch N's articles.)
         new_frontier = leftover.unionByName(discovered).unionByName(
             requeued.select(*leftover.columns))
-        self.frontier.overwrite(new_frontier, epoch + 1)
-        n_front_out = self.frontier.read(self.spark).count()
+        staged = self.frontier.stage_overwrite(new_frontier, epoch + 1)
+        n_front_out = self.spark.read.parquet(staged).count()
         self._frontier_rows = n_front_out
         self.checkpoints.append(
             self.spark.createDataFrame(
                 [(epoch, float(epoch), frontier_in, n_front_out, n_parsed)],
                 schema=CHECKPOINT_DDL), epoch)
+        self.frontier.commit_staged_overwrite(epoch + 1)
         return {"frontier_in": frontier_in, "articles_out": n_parsed,
                 "frontier_out": n_front_out}
 

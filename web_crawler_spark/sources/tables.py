@@ -82,11 +82,23 @@ class LakeTable:
     def overwrite(self, df: DataFrame, epoch: int) -> None:
         """Replace table contents with df as the single epoch `epoch`
         (frontier compaction between epochs)."""
-        d = self._epoch_dir(epoch)
-        staging = d + ".staging"
+        self.stage_overwrite(df, epoch)
+        self.commit_staged_overwrite(epoch)
+
+    # two-phase overwrite: stage (write data, old contents still committed)
+    # then commit (atomic manifest swap). Lets the epoch pipeline order its
+    # commits so a crash at ANY point leaves a consistent resume state —
+    # the frontier must not advance before the pipeline checkpoint commits.
+    def stage_overwrite(self, df: DataFrame, epoch: int) -> str:
+        staging = self._epoch_dir(epoch) + ".staging"
         if os.path.exists(staging):
             shutil.rmtree(staging)
         df.write.mode("overwrite").parquet(staging)
+        return staging
+
+    def commit_staged_overwrite(self, epoch: int) -> None:
+        d = self._epoch_dir(epoch)
+        staging = d + ".staging"
         old = [self._epoch_dir(e) for e in self.committed_epochs() if e != epoch]
         if os.path.exists(d):
             shutil.rmtree(d)
@@ -105,6 +117,14 @@ class LakeTable:
         reference's add-source semantics (get_by_url-else-create,
         /root/reference/app/models/database.py:96-125). Single-writer, like
         every LakeTable op; on Iceberg this is one MERGE statement."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        # de-dup the updates batch itself (deterministic first-by-sort-order
+        # per key) — Iceberg MERGE errors on multiple matches; we keep one
+        others = [c for c in updates.columns if c != key]
+        w = Window.partitionBy(key).orderBy(*(others or [key]))
+        updates = (updates.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
         cur = self.read(spark)
         if cur is None or self.is_empty():
             self.overwrite(updates, epoch)

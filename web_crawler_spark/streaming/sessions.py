@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import datetime as _dt
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,13 +42,17 @@ def stream_sessionize(spark: SparkSession, events: DataFrame,
     bounded by the watermark — at production scale this is the operator you
     run on a Kafka/file stream of fetch logs.
     """
-    workdir = tempfile.mkdtemp(prefix="wcs-stream-")
+    from ..util import scratch_dir
+    workdir = scratch_dir("wcs-stream-")
     src = os.path.join(workdir, "src")
     ck = os.path.join(workdir, "ck")
     ev = events.select("user_id", "event_id",
                        F.col("ts").cast("timestamp").alias("ts"))
-    ev.repartition(4).write.parquet(src)
     max_ts = ev.agg(F.max("ts")).first()[0]
+    if max_ts is None:      # empty input: no sessions, don't start a stream
+        return spark.createDataFrame(
+            [], schema="user_id bigint, n_sessions bigint")
+    ev.repartition(4).write.parquet(src)
     sentinel = spark.createDataFrame(
         [(-1, -1, max_ts + _dt.timedelta(days=2))],
         schema="user_id bigint, event_id bigint, ts timestamp")
