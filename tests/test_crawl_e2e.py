@@ -51,6 +51,20 @@ def test_byte_identity_and_seen_set(spark, engine, golden):
         assert g["source_id"] == e["source_id"], url
 
 
+def test_all_four_parser_classes_produce_articles(spark, engine, golden):
+    """The fixture web carries rbc + bbc + guardian + investing sites; the
+    engine must store articles from every parser class (guards against a
+    predicate regression silently dropping one site)."""
+    urls = [r["url"] for r in
+            engine.articles.read(spark).select("url").collect()]
+    for marker in ("rbc.ua", "www.bbc.com", "www.theguardian.com",
+                   "www.investing.com"):
+        assert any(marker in u for u in urls), f"no articles from {marker}"
+    # and the golden simulator agrees it is non-degenerate
+    gurls = [a["url"] for a in golden["articles"]]
+    assert any("www.investing.com" in u for u in gurls)
+
+
 def test_crawl_order_matches_reference(spark, engine, golden):
     ref_order = [u for (_, u, _, action, _) in golden["trace"]
                  if action == "fetched"]

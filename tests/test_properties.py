@@ -82,5 +82,5 @@ def test_extract_links_order_preserving_dedup(hrefs):
     body = "".join(f'<div><a href="{h}">x</a></div>' for h in hrefs)
     html = f'<html><body><div class="newsline">{body}</div></body></html>'
     links = refspec.extract_links(html.encode(), "https://www.rbc.ua/x", "rbc")
-    got = [u.split("rbc.ua")[1].split("?")[0] for u, _ in links]
+    got = [ln["url"].split("rbc.ua")[1].split("?")[0] for ln in links]
     assert got == list(dict.fromkeys(hrefs))

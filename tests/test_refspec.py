@@ -71,5 +71,106 @@ def test_extract_links_order_dedup_cap():
     items = "".join(f'<div><a href="/news/a{i}">x</a></div>' for i in [3, 1, 3, 2])
     html = f'<div class="newsline">{items}</div>'.encode()
     links = r.extract_links(html, "https://h.rbc.ua/rus/archive/2024/01/02", "rbc")
-    assert [u.rsplit("a", 1)[1] for u, _ in links] == ["3", "1", "2"]
-    assert all(d == "2024-01-02" for _, d in links)
+    assert [ln["url"].rsplit("a", 1)[1] for ln in links] == ["3", "1", "2"]
+    assert all(ln["date_str"] == "2024-01-02" for ln in links)
+
+
+def test_rbc_link_predicate_needs_both_substrings():
+    """rbc_ukraine_parser.py:130 — absolute URL must contain 'rbc.ua' AND
+    '/news/'; an off-domain /news/ link is dropped."""
+    html = ('<div class="newsline">'
+            '<div><a href="https://other.example/news/x">off</a></div>'
+            '<div><a href="/sport/a1">nonews</a></div>'
+            '<div><a href="/news/a2">ok</a></div></div>').encode()
+    links = r.extract_links(html, "https://www.rbc.ua/rus/archive/2024/01/02", "rbc")
+    assert [ln["url"] for ln in links] == ["https://www.rbc.ua/news/a2"]
+
+
+def test_guardian_link_predicate_exact_prefix():
+    """guardian_parser.py:31-32 — raw href must start with the exact
+    'https://www.theguardian.com/' prefix; off-site absolute https links and
+    relative hrefs are both dropped."""
+    html = ('<a data-link-name="article" '
+            'href="https://www.theguardian.com/world/a">g</a>'
+            '<a data-link-name="article" href="https://evil.example/x">e</a>'
+            '<a data-link-name="article" href="/world/rel">r</a>').encode()
+    links = r.extract_links(html, "https://www.theguardian.com/international",
+                            "guardian")
+    assert [ln["url"] for ln in links] == ["https://www.theguardian.com/world/a"]
+
+
+def test_bbc_link_predicate_on_raw_href():
+    """bbc_parser.py:32 — '/news/articles/' tested on the RAW href: a
+    relative href gaining the substring only after urljoin is dropped."""
+    html = ('<a data-testid="internal-link" href="x9">rel</a>'
+            '<a data-testid="internal-link" href="/news/articles/b1">ok</a>'
+            ).encode()
+    links = r.extract_links(html, "https://www.bbc.com/news/articles/base",
+                            "bbc")
+    assert [ln["url"] for ln in links] == [
+        "https://www.bbc.com/news/articles/b1"]
+
+
+def test_descendant_combinator_selectors():
+    """BBC/Guardian content selectors use the descendant combinator
+    (bbc_parser.py:62, guardian_parser.py:60) — p's nested below an
+    intermediate div must match."""
+    html = (b'<h1 id="main-heading">T</h1>'
+            b'<div data-component="text-block"><div><p>deep</p></div></div>')
+    assert r.extract_article(html, "bbc")["content"] == "deep"
+    g = (b'<h1 itemprop="headline">T</h1>'
+         b'<div data-gu-name="body"><figure>f</figure>'
+         b'<div><p>a</p></div><p>b</p></div>')
+    assert r.extract_article(g, "guardian")["content"] == "a\n\nb"
+
+
+def test_guardian_fallback_container():
+    """guardian_parser.py:63-68 — empty body → fallback to
+    'article div.article-body-viewer-selector' paragraphs."""
+    html = (b'<h1 itemprop="headline">T</h1>'
+            b'<div data-gu-name="body"><p>  </p></div>'
+            b'<article><div class="article-body-viewer-selector">'
+            b'<p>fb</p></div></article>')
+    assert r.extract_article(html, "guardian")["content"] == "fb"
+
+
+def test_investing_list_and_article():
+    """investing_parser.py — list-page metadata cache, /pro/ skip,
+    datetime-attr date stripping, >100-char content gate with description
+    fallback, no dedup."""
+    lst = ('<ul data-test="news-list">'
+           '<li><a data-test="article-title-link" '
+           'href="https://www.investing.com/news/i1">Gold up</a>'
+           '<p data-test="article-description">desc one</p>'
+           '<time data-test="article-publish-date" '
+           'datetime="2024-01-02 17:24:48">t</time></li>'
+           '<li><a data-test="article-title-link" '
+           'href="https://www.investing.com/PRO/x">Pro</a></li>'
+           '<li><a data-test="article-title-link" '
+           'href="https://www.investing.com/news/i2"></a></li>'
+           '<li><a data-test="article-title-link" '
+           'href="https://www.investing.com/news/i1">Gold up</a>'
+           '<p data-test="article-description">desc one</p></li>'
+           '</ul>').encode()
+    links = r.extract_links(lst, "https://www.investing.com/commodities/gold-news/1",
+                            "investing")
+    # /pro/ skipped (case-insensitive), empty title skipped, NO dedup
+    assert [ln["url"] for ln in links] == [
+        "https://www.investing.com/news/i1",
+        "https://www.investing.com/news/i1"]
+    assert links[0]["date_str"] == "2024-01-02"     # time stripped (:182)
+    assert links[0]["title"] == "Gold up"
+    assert links[0]["summary"] == "desc one"
+    long = "word " * 30
+    art = (f'<div id="article"><div class="article_WYSIWYG__O0uhw">'
+           f'<p>{long}</p></div></div>').encode()
+    got = r.extract_article(art, "investing", list_meta=links[0])
+    assert got["title"] == "Gold up"
+    assert got["content"].startswith("word word")
+    assert got["published_date"] == "2024-01-02"
+    # <100 chars → description fallback (:273-281)
+    short = b'<div id="article"><p>tiny</p></div>'
+    got2 = r.extract_article(short, "investing", list_meta=links[0])
+    assert got2["content"] == "desc one"
+    # no cached metadata → None (:225-227)
+    assert r.extract_article(art, "investing", list_meta=None) is None

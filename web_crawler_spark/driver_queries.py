@@ -54,7 +54,7 @@ def _dsum(col, scale: int = 2):
 
 _HOST_SQL = "(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE 1 + doc_id % 19 END)"
 _URL_SQL = ("'https://www.h' || " + _HOST_SQL +
-            " || '.example.com/news/d' || doc_id || '?a=1&b=2'")
+            " || '.rbc.ua/news/d' || doc_id || '?a=1&b=2'")
 _PUBDATE_SQL = ("strftime(DATE '2024-01-01' + (doc_id % 60)::INT * "
                 "INTERVAL 1 DAY, '%Y-%m-%d')")
 _CONTENT_SQL = "trim(text) || chr(10) || 'End of document ' || doc_id || '.'"
@@ -739,7 +739,7 @@ def articles_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import queries as Q
     arts = crawl_extract(spark, sf_dir).withColumn(
         "source_id",
-        F.regexp_extract(F.col("url"), r"h(\d+)\.example", 1).cast("bigint"))
+        F.regexp_extract(F.col("url"), r"h(\d+)\.rbc", 1).cast("bigint"))
     sources = (arts.select("source_id").distinct()
                .select(F.col("source_id").alias("id"),
                        F.concat(F.lit("src-"),

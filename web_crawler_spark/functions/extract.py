@@ -26,26 +26,36 @@ from .. import refspec
 
 ARTICLE_SCHEMA = ("struct<title:string, content:string, summary:string,"
                   " published_date:string>")
-LINKS_SCHEMA = "array<struct<url:string, date_str:string>>"
+LINKS_SCHEMA = ("array<struct<url:string, date_str:string, title:string,"
+                " summary:string>>")
 
 
 @lru_cache(maxsize=1)
 def extract_article_udf():
-    """html binary → struct(title, content, summary, published_date).
+    """(html, parser_class, list_title, list_summary) →
+    struct(title, content, summary, published_date).
 
-    Returns all-null struct fields for unparseable/missing-title pages; the
-    caller drops rows with null title (rbc_ukraine_parser.py:163-165)."""
+    list_title/list_summary are the frontier-carried list-page metadata
+    (the investing parser's articles cache, investing_parser.py:29,191-197);
+    null for every other parser class. Returns all-null struct fields for
+    unparseable/missing-title pages; the caller drops rows with null title
+    (rbc_ukraine_parser.py:163-165)."""
     @pandas_udf(ARTICLE_SCHEMA)
-    def _extract(html: pd.Series, parser_class: pd.Series) -> pd.DataFrame:
+    def _extract(html: pd.Series, parser_class: pd.Series,
+                 list_title: pd.Series, list_summary: pd.Series
+                 ) -> pd.DataFrame:
         titles: List[Optional[str]] = []
         contents: List[Optional[str]] = []
         summaries: List[Optional[str]] = []
         dates: List[Optional[str]] = []
-        for h, pc in zip(html, parser_class):
+        for h, pc, lt, ls in zip(html, parser_class, list_title, list_summary):
             art = None
             if h is not None:
+                meta = ({"title": lt, "summary": ls}
+                        if lt is not None or ls is not None else None)
                 try:
-                    art = refspec.extract_article(h, pc or "rbc")
+                    art = refspec.extract_article(h, pc or "rbc",
+                                                  list_meta=meta)
                 except Exception:
                     art = None
             if art is None:
@@ -82,7 +92,7 @@ def extract_links_udf():
                 links = refspec.extract_links(h, b or "", pc or "rbc")
             except Exception:
                 links = []
-            out.append([{"url": u, "date_str": d} for u, d in links])
+            out.append(links)   # already [{url, date_str, title, summary}]
         return pd.Series(out)
     # same single-evaluation guard as extract_article_udf
     return _links.asNondeterministic()
@@ -134,8 +144,13 @@ def parse_articles(fetched: DataFrame, start_date: str | None = None,
     Plan shape (checked in tests via .explain): single projection with the
     Arrow eval, then JVM-side filter/normalize — no extra shuffle."""
     cols = fetched.columns
+    lt = F.col("list_title") if "list_title" in cols \
+        else F.lit(None).cast("string")
+    ls = F.col("list_summary") if "list_summary" in cols \
+        else F.lit(None).cast("string")
     df = fetched.withColumn(
-        "art", extract_article_udf()(F.col("html"), F.col("parser_class")))
+        "art", extract_article_udf()(F.col("html"), F.col("parser_class"),
+                                     lt, ls))
     df = df.filter(F.col("art.title").isNotNull())
     pub = (F.coalesce(strip_time_col(F.col("date_str")),
                       strip_time_col(F.col("art.published_date")))

@@ -60,8 +60,10 @@ def synth_web(n_articles: int = 200, n_hosts: int = 8, seed: int = 42,
     """
     rng = random.Random(seed)
     pages: Dict[str, bytes] = {}
-    hosts = [f"www.h{i}.rbc.ua" if i == 0 else f"www.h{i}.news.example"
-             for i in range(n_hosts)]
+    # every host carries 'rbc.ua' — the exact reference link predicate
+    # ('rbc.ua' in absolute AND '/news/' in absolute,
+    # rbc_ukraine_parser.py:130) drops any other domain
+    hosts = [f"www.h{i}.rbc.ua" for i in range(n_hosts)]
     per_day_links: Dict[Tuple[int, str], List[Tuple[str, str]]] = {}
     articles_meta = []
 
@@ -122,8 +124,156 @@ def synth_web(n_articles: int = 200, n_hosts: int = 8, seed: int = 42,
                                   f'{"".join(items)}</div></body></html>').encode()
             seeds.append((archive_url, sid, "rbc"))
             sid += 1
+    sid = _synth_bbc_site(random.Random(seed + 1), pages, seeds, sid)
+    sid = _synth_guardian_site(random.Random(seed + 2), pages, seeds, sid)
+    sid = _synth_investing_site(random.Random(seed + 3), pages, seeds, sid)
     return {"pages": pages, "seeds": seeds, "hosts": hosts,
             "articles_meta": articles_meta}
+
+
+def _para_words(rng: random.Random, lo: int = 8, hi: int = 30) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(rng.randrange(lo, hi)))
+
+
+def _synth_bbc_site(rng, pages, seeds, sid) -> int:
+    """BBC-shaped fixture: a[data-testid="internal-link"] list links with the
+    raw-href '/news/articles/' predicate, 20-cap, descendant-combinator
+    content blocks, <time datetime> dates, empty-content fallback
+    (bbc_parser.py:27-88)."""
+    host = "www.bbc.com"
+    n = 26                                  # > 20 exercises the frontier cap
+    items = []
+    for j in range(n):
+        href = f"/news/articles/b{j}"
+        url = f"https://{host}{href}"
+        date = (EPOCH_TS + _dt.timedelta(days=j % 5)).strftime("%Y-%m-%d")
+        title = "" if j % 9 == 8 else f"BBC story {j} on {rng.choice(_WORDS)}"
+        if j % 7 == 6:
+            # empty text-blocks → content falls back to <article> p's
+            # (fallback on EMPTY CONTENT, bbc_parser.py:65-70)
+            body = (f'<div data-component="text-block"><p>   </p></div>'
+                    f'<article><p>{_para_words(rng)}</p>'
+                    f'<p>{_para_words(rng)}</p></article>')
+        else:
+            # p's nested under an inner div — requires the DESCENDANT
+            # combinator of 'div[data-component="text-block"] p'
+            blocks = "".join(
+                f'<div data-component="text-block"><div class="inner">'
+                f'<p>{_para_words(rng)}</p></div></div>'
+                for _ in range(rng.randrange(1, 4)))
+            body = blocks
+        pages[url] = (f'<html><body><h1 id="main-heading">{title}</h1>'
+                      f'<time datetime="{date}">today</time>{body}'
+                      f'</body></html>').encode()
+        items.append(f'<a data-testid="internal-link" href="{href}">s{j}</a>')
+        if rng.random() < 0.3:              # duplicate link (order-dedup)
+            items.append(f'<a data-testid="internal-link" href="{href}">dup</a>')
+    # raw-href predicate fodder: no '/news/articles/' → dropped even though
+    # the *absolute* URL would contain it after urljoin against this base
+    items.append('<a data-testid="internal-link" href="sport0">rel</a>')
+    # matching a without the data-testid → never selected
+    items.append('<a href="/news/articles/unmarked">plain</a>')
+    pages[f"https://{host}/news"] = (
+        '<html><body>' + "".join(items) + '</body></html>').encode()
+    seeds.append((f"https://{host}/news", sid, "bbc"))
+    return sid + 1
+
+
+def _synth_guardian_site(rng, pages, seeds, sid) -> int:
+    """Guardian-shaped fixture: absolute-href list links where ONLY
+    'https://www.theguardian.com/' prefixes survive (guardian_parser.py:32 —
+    off-site https and relative hrefs must be dropped), nested body p's,
+    attr-only time dates, article-body fallback (guardian_parser.py:27-86)."""
+    host = "www.theguardian.com"
+    n = 25
+    items = []
+    for j in range(n):
+        url = f"https://{host}/world/g{j}"
+        date = (EPOCH_TS + _dt.timedelta(days=j % 5)).strftime("%Y-%m-%dT10:00:00Z")
+        title = "" if j % 11 == 10 else f"Guardian piece {j} {rng.choice(_WORDS)}"
+        if j % 6 == 5:
+            # no data-gu-name body → falls back to
+            # 'article div.article-body-viewer-selector' (guardian:63-68)
+            body = (f'<article><div class="article-body-viewer-selector">'
+                    f'<p>{_para_words(rng)}</p><p>{_para_words(rng)}</p>'
+                    f'</div></article>')
+        else:
+            body = (f'<div data-gu-name="body"><figure>cap</figure>'
+                    + "".join(f'<div class="block"><p>{_para_words(rng)}</p></div>'
+                              for _ in range(rng.randrange(1, 4)))
+                    + '</div>')
+        pages[url] = (f'<html><body><h1 itemprop="headline">{title}</h1>'
+                      f'<time datetime="{date}">x</time>{body}'
+                      f'</body></html>').encode()
+        items.append(f'<a data-link-name="article" href="{url}">g{j}</a>')
+        if rng.random() < 0.25:
+            items.append(f'<a data-link-name="article" href="{url}">dup</a>')
+    # the round-1 regression case: off-site ABSOLUTE https link with the
+    # article marker — reference provably drops it (href prefix test)
+    items.append('<a data-link-name="article" '
+                 'href="https://www.example-news.com/offsite">off</a>')
+    # relative href: fails the prefix test on the RAW href
+    items.append('<a data-link-name="article" href="/world/rel">rel</a>')
+    pages[f"https://{host}/international"] = (
+        '<html><body>' + "".join(items) + '</body></html>').encode()
+    seeds.append((f"https://{host}/international", sid, "guardian"))
+    return sid + 1
+
+
+def _synth_investing_site(rng, pages, seeds, sid) -> int:
+    """Investing-shaped fixture: page-range list pages (S3), list-page
+    metadata cache (title/description/date extracted on the list page),
+    '/pro/' skip, datetime-attr date, >100-char content gate with
+    description fallback (investing_parser.py:43-48,127-298)."""
+    host = "www.investing.com"
+    base = f"https://{host}/commodities/gold-news"
+    aid = 0
+    for page in range(1, 4):                # page range 1..3 (S3 seed gen)
+        lis = []
+        for _ in range(6):
+            url = f"https://{host}/news/commodities/i{aid}"
+            title = f"Gold update {aid} ({rng.choice(_WORDS)})"
+            desc = f"Summary of gold story {aid}: {_para_words(rng, 4, 9)}"
+            d = (EPOCH_TS + _dt.timedelta(days=aid % 5))
+            dt_attr = d.strftime("%Y-%m-%d") + f" {rng.randrange(24):02d}:30:00"
+            if aid % 5 == 4:
+                # short article (<100 chars) → description fallback (:273-281)
+                art_body = ('<div id="article"><div class="article_WYSIWYG__O0uhw">'
+                            '<p>Too short.</p></div></div>')
+            elif aid % 5 == 3:
+                # no WYSIWYG class → cascade falls through to div#article
+                art_body = ('<div id="article"><p>' +
+                            " ".join(_para_words(rng, 10, 20)
+                                     for _ in range(3)) + '</p></div>')
+            else:
+                art_body = ('<div id="article"><div class="article_WYSIWYG__O0uhw">'
+                            + "".join(f'<p>{_para_words(rng, 10, 20)} '
+                                      f'{_para_words(rng, 10, 20)}</p>'
+                                      for _ in range(2)) + '</div></div>')
+            pages[url] = (f'<html><body><h1>ignored {aid}</h1>{art_body}'
+                          f'</body></html>').encode()
+            lis.append(
+                f'<li><a data-test="article-title-link" href="{url}">{title}</a>'
+                f'<p data-test="article-description">{desc}</p>'
+                f'<time data-test="article-publish-date" datetime="{dt_attr}">'
+                f'now</time></li>')
+            aid += 1
+        # '/pro/' premium link → skipped (:187-189)
+        lis.append(f'<li><a data-test="article-title-link" '
+                   f'href="https://{host}/pro/premium{page}">Pro story</a></li>')
+        # empty-title item → skipped (:164)
+        lis.append(f'<li><a data-test="article-title-link" '
+                   f'href="https://{host}/news/commodities/untitled{page}">'
+                   f'</a></li>')
+        # li without the title link at all → skipped
+        lis.append('<li><span>ad</span></li>')
+        pages[f"{base}/{page}"] = (
+            f'<html><body><ul data-test="news-list">{"".join(lis)}</ul>'
+            f'</body></html>').encode()
+        # one source spanning the page range: same source_id per page seed,
+        # like the reference's single crawler over pages 1..N
+        seeds.append((f"{base}/{page}", sid, "investing"))
+    return sid + 1
 
 
 def web_to_pages_rows(web: Dict[str, object]) -> List[Tuple]:
@@ -176,8 +326,10 @@ def _host_id(doc_id):
 def doc_urls(docs: DataFrame) -> DataFrame:
     """Derive (doc_id, host, url_canon, url_raw, pub_date) — pure expressions."""
     d = docs.select("doc_id", "text", "lang")
+    # hosts carry 'rbc.ua' so the exact rbc link predicate
+    # (rbc_ukraine_parser.py:130) keeps the discovered links
     host = F.concat(F.lit("www.h"), _host_id(F.col("doc_id")).cast("string"),
-                    F.lit(".example.com"))
+                    F.lit(".rbc.ua"))
     url_canon = F.concat(F.lit("https://"), host, F.lit("/news/d"),
                          F.col("doc_id").cast("string"), F.lit("?a=1&b=2"))
     # raw form carries canonicalizer fodder: uppercase scheme+host, unsorted

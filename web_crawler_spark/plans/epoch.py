@@ -46,7 +46,10 @@ from ..sources.tables import LakeTable
 FRONTIER_DDL = ("url string, host string, kind string, parser_class string, "
                 "source_id bigint, priority int, discovered_seq bigint, "
                 "next_fetch_ts double, retries int, date_str string, "
-                "epoch_added int")
+                "list_title string, list_summary string, epoch_added int")
+# list_title/list_summary: the investing parser's list-page metadata cache
+# (investing_parser.py:29,191-197) carried as frontier columns per SURVEY
+# §1.3 ("no side state"); null for every other parser class
 # priority+discovered_seq persist the reference's crawl order (its
 # articles.id AUTOINCREMENT encodes insertion order, database.py:53-64)
 ARTICLES_DDL = ("source_id bigint, url string, title string, content string, "
@@ -65,7 +68,7 @@ PARTITION_CK_DDL = ("epoch int, partition_id int, watermark_ts double, "
 
 FRONTIER_COLS = ["url", "host", "kind", "parser_class", "source_id",
                  "priority", "discovered_seq", "next_fetch_ts", "retries",
-                 "date_str", "epoch_added"]
+                 "date_str", "list_title", "list_summary", "epoch_added"]
 
 #: deterministic stand-in for datetime.utcnow().isoformat() (database.py:183)
 SCRAPED_TS = "2024-01-01T00:00:00"
@@ -131,6 +134,8 @@ class CrawlEngine:
                  F.lit(0.0).alias("next_fetch_ts"),
                  F.lit(0).alias("retries"),
                  F.lit(None).cast("string").alias("date_str"),
+                 F.lit(None).cast("string").alias("list_title"),
+                 F.lit(None).cast("string").alias("list_summary"),
                  F.lit(0).alias("epoch_added")))
         self.frontier.overwrite(f, epoch=0)
 
@@ -220,6 +225,8 @@ class CrawlEngine:
             F.lit(0.0).alias("next_fetch_ts"),
             F.lit(0).alias("retries"),
             F.col("link.date_str").alias("date_str"),
+            F.col("link.title").alias("list_title"),
+            F.col("link.summary").alias("list_summary"),
             F.lit(epoch + 1).alias("epoch_added")))
         discovered = (canon.with_canonical(discovered)
                       .drop("url").withColumnRenamed("url_canon", "url")

@@ -87,14 +87,16 @@ class Element:
 
     # -- selectors ------------------------------------------------------------
     def select(self, selector: str) -> List["Element"]:
-        parts = [p.strip() for p in selector.split(">")]
+        """Child ('A > B') and descendant ('A B') combinators — the full
+        grammar the reference's soup.select calls use (e.g. BBC's
+        'div[data-component="text-block"] p', bbc_parser.py:62)."""
         current = [self]
-        for i, part in enumerate(parts):
+        for comb, part in _parse_selector(selector):
             matched: List[Element] = []
             seen = set()
             for node in current:
-                pool = (c for c in node.children if isinstance(c, Element)) if i > 0 \
-                    else node.descendants()
+                pool = (c for c in node.children if isinstance(c, Element)) \
+                    if comb == ">" else node.descendants()
                 for cand in pool:
                     if id(cand) not in seen and _match_simple(cand, part):
                         matched.append(cand)
@@ -105,6 +107,19 @@ class Element:
     def select_one(self, selector: str) -> Optional["Element"]:
         found = self.select(selector)
         return found[0] if found else None
+
+
+def _parse_selector(selector: str) -> List[Tuple[str, str]]:
+    """'div#a > .b c' → [(' ', 'div#a'), ('>', '.b'), (' ', 'c')]."""
+    parts: List[Tuple[str, str]] = []
+    comb = " "
+    for tok in selector.replace(">", " > ").split():
+        if tok == ">":
+            comb = ">"
+            continue
+        parts.append((comb, tok))
+        comb = " "
+    return parts
 
 
 _SIMPLE_SEL = re.compile(
@@ -172,48 +187,97 @@ def parse_html(html) -> Element:
 # --------------------------------------------------------------------------
 
 #: selector configs per parser class — mirrors the per-site parsers; the
-#: reference's GenericNewsCrawler config dict (base_crawler.py:245-258)
+#: reference's GenericNewsCrawler config dict (base_crawler.py:245-258).
+#: Link-predicate kinds replicate *where* each reference parser applies its
+#: filter: 'href_*' test the raw href (bbc_parser.py:32,
+#: guardian_parser.py:31-32), 'abs_contains_all' tests the absolutized URL
+#: (rbc_ukraine_parser.py:129-131).
 PARSER_CONFIGS: Dict[str, Dict[str, Any]] = {
     # rbc_ukraine_parser.py:158-179: rbc-style archive+article
     "rbc": {
         "title_selectors": ["h1.article__title", "h1"],
-        "content_container": "div.article__text",
-        "content_fallback": "article",
+        "content_container": "div.article__text",   # container presence
+        "content_fallback": "article",              # decides fallback (:168-179)
         "paragraph_separator": " ",     # get_text(separator=' ', strip=True)
         "link_selector": "div.newsline > div",
-        "link_url_predicate": ("contains", "/news/"),
+        # rbc_ukraine_parser.py:130: 'rbc.ua' in absolute AND '/news/' in it
+        "link_url_predicate": ("abs_contains_all", ("rbc.ua", "/news/")),
         "emit_summary": False,
+        "date_from_time": None,         # date comes from the archive map only
         "frontier_cap": None,
     },
     # bbc_parser.py:27-88
     "bbc": {
         "title_selectors": ["h1#main-heading", "h1"],
-        "content_blocks": 'div[data-component="text-block"] > p',
-        "content_fallback": "article",
+        # descendant combinator, exactly bbc_parser.py:62
+        "content_blocks": 'div[data-component="text-block"] p',
+        "content_fallback": "article",              # on empty content (:65-70)
         "paragraph_separator": "",      # get_text(strip=True)
         "link_selector": 'a[data-testid="internal-link"]',
-        "link_url_predicate": ("contains", "/news/articles/"),
+        "link_url_predicate": ("href_contains", "/news/articles/"),  # :32
         "emit_summary": True,
+        "date_from_time": "attr_or_text",           # :76-81
         "frontier_cap": 20,
     },
     # guardian_parser.py:27-86
     "guardian": {
         "title_selectors": ['h1[itemprop="headline"]', "h1"],
-        "content_blocks": 'div[data-gu-name="body"] > p',
-        "content_fallback": "article",
+        "content_blocks": 'div[data-gu-name="body"] p',              # :60
+        "content_fallback": "article div.article-body-viewer-selector",  # :65
         "paragraph_separator": "",
         "link_selector": 'a[data-link-name="article"]',
-        "link_url_predicate": ("prefix", "https://"),
+        # exact reference prefix (guardian_parser.py:32) — off-site absolute
+        # https links on a Guardian list page must be dropped
+        "link_url_predicate": ("href_prefix", "https://www.theguardian.com/"),
         "emit_summary": True,
+        "date_from_time": "attr",                    # :77-79
         "frontier_cap": 20,
+    },
+    # base_crawler.py:242-333 GenericNewsCrawler defaults: any valid link,
+    # single content selector via get_text(strip=True), no cap
+    "generic": {
+        "title_selectors": ["h1"],
+        "content_single": "article",
+        "link_selector": "a",
+        "link_url_predicate": None,
+        "emit_summary": True,
+        "date_from_time": None,
+        "frontier_cap": None,
+    },
+    # investing_parser.py:127-298 — list-page metadata cache (title/desc/
+    # date extracted on the list page, carried to the article parse),
+    # '/pro/' skip, datetime-attr date, no dedup/cap on discovery
+    "investing": {
+        "kind": "investing",
+        "emit_summary": False,
+        "frontier_cap": None,
     },
 }
 
+#: investing_parser.py:254-261 — content selector cascade, first match with
+#: > 100 chars of rendered text wins
+INVESTING_CONTENT_SELECTORS = (
+    "div#article .article_WYSIWYG__O0uhw",
+    "div#article .articlePage",
+    "div#article",
+    "article .article-content",
+    ".article-content",
+    '[data-test="article-content"]',
+)
 
-def extract_article(html, parser_class: str = "rbc") -> Optional[Dict[str, Any]]:
+
+def extract_article(html, parser_class: str = "rbc",
+                    list_meta: Optional[Dict[str, Any]] = None
+                    ) -> Optional[Dict[str, Any]]:
     """Parse an article page. Returns None when no title (row dropped),
-    mirroring rbc_ukraine_parser.py:163-165 / bbc_parser.py:58-60."""
+    mirroring rbc_ukraine_parser.py:163-165 / bbc_parser.py:58-60.
+
+    ``list_meta`` is the list-page metadata cache row for this URL
+    (investing_parser.py:29,191-197): keys title/summary/date_str. Only the
+    investing parser consumes it."""
     cfg = PARSER_CONFIGS[parser_class]
+    if cfg.get("kind") == "investing":
+        return _extract_article_investing(html, list_meta)
     soup = parse_html(html)
 
     title = ""
@@ -226,46 +290,96 @@ def extract_article(html, parser_class: str = "rbc") -> Optional[Dict[str, Any]]
     if not title:
         return None
 
-    sep = cfg["paragraph_separator"]
-
-    def para_text(p: Element) -> str:
-        return p.get_text(separator=sep, strip=True) if sep else p.get_text(strip=True)
-
-    paragraphs: List[Element] = []
-    if "content_blocks" in cfg:
-        paragraphs = soup.select(cfg["content_blocks"])
+    if "content_single" in cfg:
+        # GenericNewsCrawler: one extract_text call (base_crawler.py:298-302)
+        el = soup.select_one(cfg["content_single"])
+        content = el.get_text(strip=True) if el is not None else ""
     else:
-        container = soup.select_one(cfg["content_container"])
-        if container is not None:
-            paragraphs = container.find_all("p")
-    if not paragraphs:
-        fb = soup.select_one(cfg["content_fallback"])
-        if fb is not None:
-            paragraphs = fb.find_all("p")
-    # '\n\n'.join over non-empty paragraph texts — rbc_ukraine_parser.py:171
-    content = "\n\n".join(t for t in (para_text(p) for p in paragraphs)
-                          if t.strip())
+        sep = cfg["paragraph_separator"]
+
+        def para_text(p: Element) -> str:
+            return p.get_text(separator=sep, strip=True) if sep \
+                else p.get_text(strip=True)
+
+        def joined(paragraphs: List[Element]) -> str:
+            # '\n\n'.join over non-empty texts — rbc_ukraine_parser.py:171
+            return "\n\n".join(t for t in (para_text(p) for p in paragraphs)
+                               if t.strip())
+
+        if "content_blocks" in cfg:
+            # BBC/Guardian: fall back when the joined content is EMPTY
+            # (bbc_parser.py:65-70, guardian_parser.py:63-68)
+            content = joined(soup.select(cfg["content_blocks"]))
+            if not content:
+                fb = soup.select_one(cfg["content_fallback"])
+                content = joined(fb.find_all("p")) if fb is not None else ""
+        else:
+            # RBC: fall back when the CONTAINER is absent
+            # (rbc_ukraine_parser.py:168-179)
+            container = soup.select_one(cfg["content_container"])
+            if container is not None:
+                content = joined(container.find_all("p"))
+            else:
+                fb = soup.select_one(cfg["content_fallback"])
+                content = joined(fb.find_all("p")) if fb is not None else ""
 
     out: Dict[str, Any] = {"title": title, "content": content}
     if cfg["emit_summary"]:
         # base_crawler.py:325 — computed on pre-normalization content
         out["summary"] = content[:200] + "..." if len(content) > 200 else content
-    # <time datetime=...> — bbc_parser.py:76-82
-    t = soup.select_one("time")
-    if t is not None:
-        out["published_date"] = t.get("datetime") or t.get_text(strip=True) or None
-    else:
-        out["published_date"] = None
+    # <time datetime=...> — only BBC/Guardian read it (bbc_parser.py:76-82
+    # attr-then-text; guardian_parser.py:77-79 attr only); RBC/generic get
+    # their date from the archive map / config
+    date_mode = cfg.get("date_from_time")
+    out["published_date"] = None
+    if date_mode:
+        t = soup.select_one("time")
+        if t is not None:
+            if date_mode == "attr_or_text":
+                out["published_date"] = (t.get("datetime") or
+                                         t.get_text(strip=True) or None)
+            else:
+                out["published_date"] = t.get("datetime") or None
     return out
 
 
-def extract_links(html, base_url: str, parser_class: str = "rbc"
-                  ) -> List[Tuple[str, Optional[str]]]:
-    """List-page link extraction → [(absolute_url, date_str|None)], in page
-    order, order-preserving-deduped. rbc_ukraine_parser.py:103-148."""
-    cfg = PARSER_CONFIGS[parser_class]
+def _extract_article_investing(html, list_meta: Optional[Dict[str, Any]]
+                               ) -> Optional[Dict[str, Any]]:
+    """investing_parser.py:216-298 — title/description/date come from the
+    list-page cache; the article page contributes only its rendered text.
+
+    Selenium's ``element.text`` (rendered text, blocks joined by newlines)
+    is approximated as get_text(separator='\\n', strip=True) — the browser
+    itself is out of engine scope (SURVEY §2.1 S6)."""
+    if not list_meta or not list_meta.get("title"):
+        return None                     # "not found in cache" (:225-227)
     soup = parse_html(html)
-    kind, arg = cfg["link_url_predicate"]
+    content = ""
+    for sel in INVESTING_CONTENT_SELECTORS:     # cascade (:253-271)
+        el = soup.select_one(sel)
+        if el is not None:
+            c = el.get_text(separator="\n", strip=True)
+            if c and len(c) > 100:              # "meaningful content" (:267)
+                content = c
+                break
+    if not content or len(content) < 100:       # description fallback (:273-281)
+        content = list_meta.get("summary") or ""
+    return {"title": list_meta["title"], "content": content,
+            "published_date": list_meta.get("date_str")}
+
+
+def extract_links(html, base_url: str, parser_class: str = "rbc"
+                  ) -> List[Dict[str, Any]]:
+    """List-page link extraction → [{url, date_str, title, summary}] in page
+    order. date_str from the archive URL + span.time (RBC,
+    rbc_ukraine_parser.py:103-148); title/summary only for investing (its
+    list-page metadata cache). Order-preserving dedup + cap per config."""
+    cfg = PARSER_CONFIGS[parser_class]
+    if cfg.get("kind") == "investing":
+        return _extract_links_investing(html, base_url)
+    soup = parse_html(html)
+    pred = cfg["link_url_predicate"]
+    kind, arg = pred if pred else (None, None)
 
     archive_date = None
     m = re.search(r"/(\d{4})/(\d{2})/(\d{2})$", base_url)
@@ -280,12 +394,17 @@ def extract_links(html, base_url: str, parser_class: str = "rbc"
         href = link.get("href")
         if not href:
             continue
+        # raw-href predicates run BEFORE absolutization, where the
+        # reference applies them (bbc_parser.py:32, guardian_parser.py:32)
+        if kind == "href_contains" and arg not in href:
+            continue
+        if kind == "href_prefix" and not href.startswith(arg):
+            continue
         absolute = absolute_url(base_url, href)
         if not is_valid_url(absolute):
             continue
-        if kind == "contains" and arg not in absolute:
-            continue
-        if kind == "prefix" and not absolute.startswith(arg):
+        # absolute-URL predicate (rbc_ukraine_parser.py:130)
+        if kind == "abs_contains_all" and not all(a in absolute for a in arg):
             continue
         date = None
         ts = link.select_one("span.time")
@@ -294,9 +413,43 @@ def extract_links(html, base_url: str, parser_class: str = "rbc"
             date = f"{archive_date} {time_str}" if time_str else archive_date
         if absolute not in seen:            # first occurrence wins
             seen[absolute] = date
-    urls = list(seen.items())
+    links = [{"url": u, "date_str": d, "title": None, "summary": None}
+             for u, d in seen.items()]
     cap = cfg["frontier_cap"]
-    return urls[:cap] if cap else urls
+    return links[:cap] if cap else links
+
+
+def _extract_links_investing(html, base_url: str) -> List[Dict[str, Any]]:
+    """investing_parser.py:142-214 — one pass over the news list extracting
+    url+title+description+date per item; '/pro/' URLs skipped; rows without
+    url or title skipped; NO dedup and NO cap (the reference returns the
+    raw `urls` list, :214)."""
+    soup = parse_html(html)
+    out: List[Dict[str, Any]] = []
+    for item in soup.select('ul[data-test="news-list"] li'):
+        link = item.select_one('a[data-test="article-title-link"]')
+        if link is None:
+            continue
+        href = link.get("href")
+        # Selenium's get_attribute('href') is browser-absolutized; urljoin
+        # reproduces that for relative fixtures
+        url = absolute_url(base_url, href) if href else ""
+        title = link.get_text(strip=True)
+        if not url or not title:                    # :164
+            continue
+        desc_el = item.select_one('p[data-test="article-description"]')
+        description = desc_el.get_text(strip=True) if desc_el else ""
+        date = None
+        t = item.select_one('time[data-test="article-publish-date"]')
+        if t is not None:
+            dt = t.get("datetime")
+            if dt:
+                date = dt.split(" ")[0]             # :179-182
+        if "/pro/" in url.lower():                  # :187-189
+            continue
+        out.append({"url": url, "date_str": date,
+                    "title": title, "summary": description})
+    return out
 
 
 def normalize_content(content: Optional[str]) -> Optional[str]:
@@ -420,13 +573,14 @@ def simulate_crawl(pages: Dict[str, bytes],
             continue
         clock += request_delay
         links = extract_links(html, seed_url, parser_class)
-        for url, date_str in links:
+        for link in links:
+            url, date_str = link["url"], link["date_str"]
             clock += request_delay
             if url not in pages:
                 trace.append((seq, url, url_host(url) or "", "error", clock))
                 seq += 1
                 continue
-            art = extract_article(pages[url], parser_class)
+            art = extract_article(pages[url], parser_class, list_meta=link)
             if art is None:
                 trace.append((seq, url, url_host(url) or "", "error", clock))
                 seq += 1
