@@ -57,3 +57,136 @@ def test_csv_roundtrip_preserves_rows(spark):
                       .alias("want")))
     assert joined.filter(F.col("got") != F.col("want")).count() == 0
     assert via_csv.filter(F.col("content").contains("\n")).count() == 0
+
+
+def test_multimodal_feature_values_and_shape(spark):
+    """mapInPandas plumbing: 8 scalar rows per media item, values equal the
+    stub digest math, payload pruned from the output projection."""
+    import hashlib
+    from web_crawler_spark.operators import multimodal
+    media = multimodal.synth_media(spark, n=9)
+    feats = multimodal.extract_features(media)
+    assert "payload" not in feats.columns
+    out = feats.collect()
+    assert len(out) == 9 * multimodal.N_FEATURES
+    got = {(r.media_id, r.idx): r.value for r in out}
+    for i in range(9):
+        payload = hashlib.blake2b(f"42:{i}".encode(),
+                                  digest_size=32).digest() * 4
+        exp = multimodal.decode_stub(payload, "any")
+        for j, v in enumerate(exp):
+            assert got[(i, j)] == v
+    assert all(r.decode_ok for r in out)
+
+
+def _simhash_py(text: str) -> int:
+    """Independent pure-python SimHash (Charikar '02) for the golden check:
+    64-bit blake2b per distinct token, majority vote per bit."""
+    import hashlib
+    toks = sorted(set(text.split()))
+    votes = [0] * 64
+    for tok in toks:
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash_near_dup_planted_pairs(spark):
+    """Band-blocking completeness: ANY pair with hamming <= 3 on a 64-bit
+    simhash shares at least one of 4 16-bit bands (pigeonhole), so the
+    operator must return EXACTLY the all-pairs-hamming<=3 set — verified
+    against an independent python simhash over planted exact and
+    near-identical duplicates."""
+    from web_crawler_spark.operators import dedup
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text").collect())
+    rows = [(r.doc_id, r.text) for r in docs]
+    # planted exact duplicates (hamming 0) + one-token edits (near-identical)
+    rows += [(r.doc_id + 100000, r.text) for r in docs]
+    rows += [(r.doc_id + 200000, r.text + " zzedit") for r in docs]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_near_dups(df, max_hamming=3).collect()}
+    sigs = {i: _simhash_py(t) for i, t in rows}
+    ids = sorted(sigs)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 3:
+                want[(a, b)] = ham
+    assert got == want
+    # the planted exact dups are necessarily all present at hamming 0
+    assert all(got.get((r.doc_id, r.doc_id + 100000)) == 0 for r in docs)
+
+
+def test_lsh_cosine_buckets_finds_planted_neighbors(spark):
+    """Hyperplane-LSH recall gate: an exact-duplicate vector has an
+    identical signature (deterministic hyperplanes), so its planted twin
+    must appear as the rank-1 neighbor with cosine ~1 — recall 1.0 on the
+    planted set, and in-bucket rerank scores must match exact cosine."""
+    from web_crawler_spark.operators import similarity
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .filter(F.col("vec_id") < 100).select("vec_id", "embedding"))
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dup)
+    out = similarity.lsh_cosine_topk(corpus, k=3, n_bits=16, bands=4, dim=64)
+    rank1 = {r.vec_id: (r.neighbor_id, r.cosine)
+             for r in out.collect() if r.rank == 1}
+    n = emb.count()
+    missing = [i for i in range(n) if rank1.get(i, (None, 0))[0] != i + 100000]
+    assert not missing, f"planted twin not rank-1 for: {missing[:5]}"
+    assert all(abs(rank1[i][1] - 1.0) < 1e-3 for i in range(n))
+
+
+def test_winnow_fingerprints_golden(spark):
+    """Winnowing (Schleimer et al. SIGMOD'03) vs an independent naive
+    reference: k-gram rolling hashes, min per window of 4, distinct — plus
+    the containment property (a shared long substring shares a print)."""
+    import hashlib
+    from web_crawler_spark.functions import text as T
+
+    def winnow_py(t, k=5, w=4):
+        toks = t.split()
+        if len(toks) < k:
+            return set()
+        hs = [int.from_bytes(
+            hashlib.blake2b(" ".join(toks[i:i + k]).encode(),
+                            digest_size=8).digest(), "little")
+            for i in range(len(toks) - k + 1)]
+        if len(hs) < w:
+            return {min(hs)}
+        sel = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+        return sel
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs " * 3,
+        "short one",
+        "",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               schema="doc_id bigint, text string")
+    out = df.select("doc_id",
+                    T.winnow_fingerprints_udf()(F.col("text")).alias("fp"))
+    got = {r.doc_id: {x & ((1 << 64) - 1) for x in (r.fp or [])}
+           for r in out.collect()}
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == winnow_py(t), f"doc {i}"
+    # containment: two docs sharing a 12-token substring share a fingerprint
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    df2 = spark.createDataFrame(
+        [(0, "prefix words here " + shared), (1, shared + " suffix tail")],
+        schema="doc_id bigint, text string")
+    res = {r.doc_id: set(r.fp) for r in df2.select(
+        "doc_id", T.winnow_fingerprints_udf()(F.col("text")).alias("fp"))
+        .collect()}
+    assert res[0] & res[1]

@@ -792,10 +792,19 @@ def api_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api_adapter.articles_from_json_pages(pages)
 
 
-@_q("multimodal_features")  # no SQL oracle: binary decode stub (rows-only)
+@_q("multimodal_features", """
+    SELECT doc_id AS media_id,
+           ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+           CAST(i AS INT) AS idx,
+           CAST(((md5_number_lower(trim(text))::HUGEINT + i * 2654435761)
+                 % 1000000) AS DOUBLE) / 1000000.0 AS value,
+           true AS decode_ok
+    FROM documents, generate_series(0, 7) AS t(i)""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload → mapInPandas feature extraction
-    (decode step stubbed deterministically; see operators/multimodal.py)."""
+    """Multimodal plumbing: documents-derived binary payloads → mapInPandas
+    feature extraction, exploded to scalar (media_id, idx, value) rows. The
+    decode step is a deterministic md5-fold stub whose math the DuckDB
+    oracle restates in SQL (operators/multimodal.py docstring)."""
     from .operators import multimodal
-    media = multimodal.synth_media(spark, n=128)
+    media = multimodal.media_from_documents(spark, sf_dir)
     return multimodal.extract_features(media)

@@ -2,14 +2,26 @@
 
 Image/audio/video payloads are opaque ``binary`` columns (same as the pages
 table's html per input_hint). The Spark-side machinery — schema, Arrow batch
-shape, mapInPandas iterator contract, partition sizing — is real and tested;
+shape, mapInPandas iterator contract, payload pruning — is real and tested;
 the actual codec step is STUBBED behind ``decode_stub`` with a deterministic
 fake (the decode libs are not in this container). Swapping in PIL/ffmpeg is
 a one-function change inside the iterator.
 
+The stub's digest math is deliberately SQL-expressible so the driver's
+DuckDB oracle can verify the full pipeline value-exactly:
+
+    H       = little-endian uint64 of md5(payload) digest bytes [8:16]
+              (== DuckDB's md5_number_lower)
+    value_i = ((H + i * 2654435761) % 1_000_000) / 1e6   for i in 0..7
+
+Output is exploded to one row per (media_id, idx) — scalar columns only, so
+the driver's order-insensitive hash has no unhashable list cells.
+
 Batch-shape contract: mapInPandas receives an iterator of pandas DataFrames
 (one per Arrow batch, ~spark.sql.execution.arrow.maxRecordsPerBatch rows);
 per-batch numpy work amortizes Python overhead exactly like the parse UDF.
+At scale the binary payload is pruned from the output projection, so the
+(large) media bytes are scanned once and never reshuffled.
 """
 
 from __future__ import annotations
@@ -17,16 +29,18 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MEDIA_DDL = ("media_id bigint, kind string, payload binary, mime string, "
              "width int, height int, duration_ms int")
 
-FEATURE_DDL = ("media_id bigint, kind string, feat array<float>, "
+FEATURE_DDL = ("media_id bigint, kind string, idx int, value double, "
                "decode_ok boolean")
+
+N_FEATURES = 8
+_MIX = 2654435761          # Knuth multiplicative-hash constant
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
@@ -43,28 +57,55 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_DDL)
 
 
-def decode_stub(payload: bytes, kind: str) -> np.ndarray:
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table derived from the driver's documents parquet: payload =
+    UTF-8 bytes of the trimmed text (an opaque blob as far as the decode
+    path is concerned), kind cycling through the three modalities. Pure
+    JVM expressions — the oracle can restate the construction in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.trim(F.col("text")), "UTF-8").alias("payload"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        (F.col("doc_id") % 7 * 1000).cast("int").alias("duration_ms"))
+
+
+def decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB: replace with PIL.Image.open / soundfile / pyav frame-sample.
-    Deterministic fake 'feature': 8 floats folded from the payload digest."""
-    d = hashlib.blake2b(payload or b"", digest_size=32).digest()
-    return np.frombuffer(d, dtype=np.uint8).reshape(8, 4).sum(axis=1) / 255.0
+    Deterministic fake 'feature': 8 floats folded from the md5 digest
+    (md5_number_lower-compatible, see module docstring)."""
+    d = hashlib.md5(payload or b"").digest()
+    h = int.from_bytes(d[8:16], "little")
+    return [((h + i * _MIX) % 1_000_000) / 1e6 for i in range(N_FEATURES)]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: one Arrow batch in, one out; payload
-    column pruned away on output so the (large) binary never reshuffles."""
+    """mapInPandas feature extraction: one Arrow batch in, N_FEATURES rows
+    per media item out; the payload column is pruned from the output so the
+    (large) binary never reshuffles. Decode failures quarantine as
+    decode_ok=false rows with null values (T6 semantics: never crash)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, ok = [], []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+            ids, kinds, idxs, vals, oks = [], [], [], [], []
+            for mid, payload, kind in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["kind"]):
                 try:
-                    feats.append([float(x) for x in decode_stub(payload, kind)])
-                    ok.append(True)
+                    feat = decode_stub(payload, kind)
+                    ok = True
                 except Exception:
-                    feats.append(None)
-                    ok.append(False)
-            yield pd.DataFrame({"media_id": pdf["media_id"],
-                                "kind": pdf["kind"],
-                                "feat": feats, "decode_ok": ok})
+                    feat = [None] * N_FEATURES
+                    ok = False
+                for i, v in enumerate(feat):
+                    ids.append(mid)
+                    kinds.append(kind)
+                    idxs.append(i)
+                    vals.append(v)
+                    oks.append(ok)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "idx": idxs,
+                                "value": vals, "decode_ok": oks})
 
     return media.mapInPandas(run, schema=FEATURE_DDL)
