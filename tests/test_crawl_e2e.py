@@ -138,7 +138,7 @@ def test_metrics_and_checkpoints_written(spark, engine):
     assert m.count() > 0
     assert set(m.columns) == {"epoch", "host", "fetched", "parsed",
                               "discovered", "skipped_dup", "skipped_date",
-                              "errors"}
+                              "skipped_robots", "errors"}
     cp = engine.checkpoints.read(spark).orderBy("epoch").collect()
     assert [r["epoch"] for r in cp] == list(range(len(cp)))
     assert cp[-1]["frontier_out"] == 0     # drained

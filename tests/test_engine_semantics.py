@@ -1,0 +1,189 @@
+"""Engine-semantics gates added in round 2: the 429/backoff retry path
+(S5/T3), sources registry with last_crawled (S1/S13), API early-stop
+pagination + full-content refetch (S7/S8), and the LakeTable.merge
+dim-table guard."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark import html_synth, refspec
+from web_crawler_spark.plans.epoch import CrawlConfig, CrawlEngine
+
+
+@pytest.fixture(scope="module")
+def web():
+    return html_synth.synth_web(n_articles=60, n_hosts=3, seed=7)
+
+
+def _engine(spark, wd, web, **cfg):
+    pages = html_synth.pages_df(spark, web)
+    seeds = html_synth.seeds_df(spark, web)
+    eng = CrawlEngine(spark, wd, pages, CrawlConfig(**cfg))
+    return eng, seeds
+
+
+# ---------------------------------------------------------------- S5/T3 429
+def test_backoff_requeue_retries_then_succeeds(spark, tmp_path, web):
+    """A url 429-ing once is re-enqueued with the 60 s penalty and fetched
+    on a later epoch; the final article set equals the fault-free golden."""
+    golden = refspec.simulate_crawl(web["pages"], web["seeds"])
+    victims = [a["url"] for a in golden["articles"]][:3]
+    eng, seeds = _engine(spark, str(tmp_path / "w"), web,
+                         fault_429={u: 1 for u in victims})
+    eng.bootstrap(seeds)
+    eng.run_epoch(0)
+    # epoch 0 list pages fetched; epoch 1 articles fetched, victims 429
+    eng.run_epoch(1)
+    stored = {r["url"] for r in eng.articles.read(spark).collect()}
+    assert not (set(victims) & stored), "429'd urls must not store in epoch 1"
+    fr = eng.frontier.read(spark).filter(F.col("url").isin(victims)).collect()
+    assert len(fr) == len(victims), "victims must be re-enqueued"
+    assert all(r["retries"] == 1 for r in fr)
+    assert all(r["next_fetch_ts"] >= 60.0 for r in fr), \
+        "60 s rate-limit penalty (base_fetcher.py:123-126)"
+    eng.run(seeds=None, max_epochs=6)
+    got = {r["url"] for r in eng.articles.read(spark).collect()}
+    assert got == {a["url"] for a in golden["articles"]}
+    # the retried rows' schedule stayed monotone past the penalty
+    arts = eng.articles.read(spark).filter(F.col("url").isin(victims))
+    assert arts.count() == len(victims)
+
+
+def test_backoff_gives_up_after_max_retries(spark, tmp_path, web):
+    """A url that 429s more than max_retries times is dropped for good
+    (Retry(total=3) semantics, base_crawler.py:43-48) and the frontier
+    still drains."""
+    golden = refspec.simulate_crawl(web["pages"], web["seeds"])
+    victim = golden["articles"][0]["url"]
+    eng, seeds = _engine(spark, str(tmp_path / "w"), web,
+                         fault_429={victim: 99}, max_retries=3)
+    eng.run(seeds, max_epochs=10)
+    stored = {r["url"] for r in eng.articles.read(spark).collect()}
+    assert victim not in stored
+    assert stored == {a["url"] for a in golden["articles"]} - {victim}
+    assert eng.frontier.read(spark).count() == 0, "frontier must drain"
+    # 429 attempts surfaced in the error metrics
+    m = eng.metrics.read(spark).agg(F.sum("errors")).first()[0]
+    assert m and m >= 3
+
+
+# ---------------------------------------------------------------- S1 + S13
+def test_sources_registry_and_last_crawled(spark, tmp_path, web):
+    """bootstrap registers the sources dim; inactive sources are never
+    crawled (S1); last_crawled is stamped per epoch for sources that
+    fetched (S13, database.py:134-146)."""
+    pages = html_synth.pages_df(spark, web)
+    seeds = html_synth.seeds_df(spark, web).withColumn(
+        "is_active",
+        F.when(F.col("source_id") == 0, F.lit(0)).otherwise(F.lit(1)))
+    eng = CrawlEngine(spark, str(tmp_path / "w"), pages, CrawlConfig())
+    eng.run(seeds, max_epochs=6)
+    src = {r["id"]: r for r in eng.sources.read(spark).collect()}
+    assert set(src) == {s for (_, s, _) in web["seeds"]}
+    assert src[0]["is_active"] == 0 and src[0]["last_crawled"] is None
+    crawled_ids = {r["source_id"] for r in
+                   eng.articles.read(spark).select("source_id").collect()}
+    assert 0 not in crawled_ids, "inactive source must never crawl"
+    for sid in crawled_ids:
+        assert src[sid]["last_crawled"] is not None, sid
+        assert "#epoch=" in src[sid]["last_crawled"]
+
+
+# ------------------------------------------------------------------- S7/S8
+def _page_body(n_arts, total, page, status="ok"):
+    arts = [{"source": {"name": "s"}, "author": "a",
+             "title": f"t{page}-{i}", "description": f"d{page}-{i}",
+             "url": f"https://api.example/p{page}a{i}",
+             "publishedAt": "2024-01-02T00:00:00Z",
+             "content": f"c{page}-{i}"} for i in range(n_arts)]
+    return json.dumps({"status": status, "totalResults": total,
+                       "articles": arts})
+
+
+def test_api_early_stop_total_results(spark):
+    """fetch_all_articles:292-297 — stop once page*page_size >= totalResults;
+    later pages are never consumed."""
+    from web_crawler_spark.sources import api_adapter
+    rows = [(p, _page_body(10, 24, p)) for p in range(1, 6)]
+    pages = spark.createDataFrame(rows, schema="page bigint, body string")
+    kept = api_adapter.paginate_early_stop(pages, page_size=10)
+    assert sorted(r["page"] for r in kept.collect()) == [1, 2, 3]
+    arts = api_adapter.articles_from_json_pages(kept)
+    assert arts.count() == 30
+    assert arts.filter(F.col("discovered_seq") >= 4_000_000).count() == 0
+
+
+def test_api_early_stop_empty_and_error_pages(spark):
+    """:277-285 — an error page or an empty page breaks the loop."""
+    from web_crawler_spark.sources import api_adapter
+    rows = [(1, _page_body(10, 1000, 1)),
+            (2, _page_body(0, 1000, 2)),          # empty → break after p2
+            (3, _page_body(10, 1000, 3))]
+    pages = spark.createDataFrame(rows, schema="page bigint, body string")
+    kept = api_adapter.paginate_early_stop(pages, page_size=10)
+    assert sorted(r["page"] for r in kept.collect()) == [1, 2]
+    rows = [(1, _page_body(10, 1000, 1)),
+            (2, _page_body(10, 1000, 2, status="error")),
+            (3, _page_body(10, 1000, 3))]
+    pages = spark.createDataFrame(rows, schema="page bigint, body string")
+    kept = api_adapter.paginate_early_stop(pages, page_size=10)
+    assert sorted(r["page"] for r in kept.collect()) == [1, 2]
+    # the error page itself contributes no articles
+    assert api_adapter.articles_from_json_pages(kept).count() == 10
+
+
+def test_api_refetch_full_content(spark):
+    """S8 — flagged rows re-join the pages table; refetched text wins only
+    when > 100 chars (newsapi_fetcher.py:102-134)."""
+    from web_crawler_spark.sources import api_adapter
+    long_body = ("<article><p>" + "full text word " * 20 + "</p></article>")
+    short_body = "<article><p>tiny</p></article>"
+    pages = spark.createDataFrame(
+        [("https://a/1", bytearray(f"<h1>T</h1>{long_body}".encode())),
+         ("https://a/2", bytearray(f"<h1>T</h1>{short_body}".encode()))],
+        schema="url string, html binary")
+    arts = spark.createDataFrame(
+        [("https://a/1", "t1", "api-content-1"),
+         ("https://a/2", "t2", "api-content-2"),
+         ("https://a/3", "t3", "api-content-3")],   # no page → keep API text
+        schema="url string, title string, content string")
+    out = {r["url"]: r for r in
+           api_adapter.refetch_full_content(arts, pages).collect()}
+    assert out["https://a/1"]["content"].startswith("full text word")
+    assert out["https://a/2"]["content"] == "api-content-2"   # <=100 chars
+    assert out["https://a/3"]["content"] == "api-content-3"   # 404
+    assert all(r["fetch_content"] for r in out.values())
+
+
+# ------------------------------------------------------------- merge guard
+def test_merge_is_dim_table_only(spark, tmp_path):
+    from web_crawler_spark.sources.tables import LakeTable
+    t = LakeTable(str(tmp_path / "dim"), "k string, v bigint")
+    df = spark.range(50).select(F.col("id").cast("string").alias("k"),
+                                F.col("id").alias("v"))
+    t.merge(spark, df, "k", 0, max_rows=100)          # fine: under the cap
+    with pytest.raises(ValueError, match="dim-table-only"):
+        t.merge(spark, df, "k", 1, max_rows=10)       # fact-sized → refuse
+
+
+def test_metrics_include_skipped_robots(spark, tmp_path, web):
+    """Robots-disallowed frontier rows are counted per epoch, not silently
+    dropped (ADVICE round 1)."""
+    pages = html_synth.pages_df(spark, web)
+    seeds = html_synth.seeds_df(spark, web)
+    host = web["hosts"][0]
+    eng = CrawlEngine(
+        spark, str(tmp_path / "w"), pages,
+        CrawlConfig(robots_rules={host: (0.0, ["/news/"])}))
+    eng.run(seeds, max_epochs=4)
+    m = eng.metrics.read(spark)
+    assert "skipped_robots" in m.columns
+    total = m.select(F.max("skipped_robots")).first()[0]
+    assert total and total > 0
+    # and the blocked host stored no articles
+    blocked = (eng.articles.read(spark)
+               .filter(F.col("url").contains(host))
+               .filter(F.col("url").contains("/news/")).count())
+    assert blocked == 0

@@ -144,3 +144,50 @@ def test_crash_between_checkpoint_and_frontier_commit(spark, tmp_path):
     t.merge(spark, df([("b", "2"), ("c", "2")]), "k", 1)
     got = {r.k: r.v for r in t.read(spark).collect()}
     assert got == {"a": "1", "b": "1", "c": "2"}   # existing row wins
+
+
+def test_parse_robots_groupless_directives_ignored():
+    """RFC 9309: directives after a blank line with no User-agent of their
+    own belong to NO group — they must not attach to the previous group."""
+    body = ("User-agent: *\nDisallow: /a\n"
+            "\n"
+            "Disallow: /orphan\nCrawl-delay: 9\n")
+    delay, dis = robots.parse_robots(body)
+    assert dis == ["/a"]
+    assert delay == 0.0
+
+
+def test_filter_allowed_null_host_consistent(spark):
+    """Null-host rows are allow-all in BOTH plans (inline expression and
+    broadcast anti-join)."""
+    frontier = spark.createDataFrame(
+        [("https://h1.com/private/x", "h1.com"), ("relative/only", None)],
+        schema="url string, host string")
+    small = {"h1.com": (0.0, ["/private/"])}
+    inline = {r.url for r in robots.filter_allowed(frontier, small).collect()}
+    assert inline == {"relative/only"}
+    big = dict(small, **{f"x{i}.com": (0.0, [f"/p{i}/"]) for i in range(80)})
+    joined = {r.url for r in robots.filter_allowed(frontier, big).collect()}
+    assert joined == {"relative/only"}
+
+
+def test_stream_sessionize_single_file_per_trigger(spark):
+    """Regression (round-1 ADVICE): with maxFilesPerTrigger=1 the watermark
+    used to finalize sessions before all micro-batches arrived, silently
+    corrupting counts. The span-covering watermark must make the trigger
+    granularity irrelevant."""
+    import datetime as dt
+    from web_crawler_spark.streaming import sessions
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(20):
+        for k in range(4):           # 2 sessions per user (gap at k==2)
+            off = dt.timedelta(minutes=10 * k) if k < 2 else \
+                dt.timedelta(days=1, minutes=10 * k)
+            rows.append((u, u * 10 + k, base + off))
+    ev = spark.createDataFrame(
+        rows, schema="user_id bigint, event_id bigint, ts timestamp")
+    got = {r.user_id: r.n_sessions for r in
+           sessions.stream_sessionize(spark, ev, files_per_trigger=1)
+           .collect()}
+    assert got == {u: 2 for u in range(20)}

@@ -643,11 +643,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
            .select("vec_id", "embedding"))
     dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    c = emb.unionByName(dup)
-    a = c.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = c.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # cast + norm computed once per vector (600 rows), not once per pair
+    # (180k) — the cross-join stage then evaluates a single dot per pair
+    c = similarity.with_norm(emb.unionByName(dup), "embedding")
+    a = c.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("norm").alias("na"))
+    b = c.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("norm").alias("nb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    scored = similarity.with_cosine(pairs, "va", "vb", "cosine")
+    scored = pairs.withColumn(
+        "cosine", similarity.pair_cosine(F.col("va"), F.col("vb"),
+                                         F.col("na"), F.col("nb")))
     return (scored
             .select("id_a", "id_b",
                     F.round("cosine", 6).cast("double").alias("cosine"))
@@ -752,7 +758,8 @@ def articles_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("api_ingest", f"""
     SELECT 'https://api.example/a' || doc_id AS url,
            'Doc ' || doc_id AS title,
-           trim(text) AS content,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN 'About doc ' || doc_id ELSE trim(text) END AS content,
            'author-' || (doc_id % 7) AS author,
            'src-' || (doc_id % 5) AS source_name,
            {_PUBDATE_SQL} AS published_date,
@@ -789,7 +796,11 @@ def api_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("ok").alias("status"),
                  F.array_sort(F.collect_list(F.struct("doc_id", "a")))
                  .getField("a").alias("articles"))).alias("body")))
-    return api_adapter.articles_from_json_pages(pages)
+    # early-stop pagination (S7, newsapi_fetcher.py:274-297) sits in front
+    # of the parse — a no-op here (every page is full and ok) but gated by
+    # tests/test_api_s7_s8.py for the stopping cases
+    return api_adapter.articles_from_json_pages(
+        api_adapter.paginate_early_stop(pages, page_size=10))
 
 
 @_q("multimodal_features", """

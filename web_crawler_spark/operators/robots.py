@@ -45,7 +45,11 @@ def parse_robots(body: str, agent: str = "*") -> Tuple[float, List[str]]:
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
-            prev_was_agent = False      # blank line terminates a group
+            # blank line terminates the group: directives in a group-less
+            # record that follows are invalid per RFC 9309 and must be
+            # ignored, not attached to the previous group
+            prev_was_agent = False
+            current = []
             continue
         if ":" not in line:
             continue
@@ -130,9 +134,13 @@ def filter_allowed(frontier: DataFrame,
         return frontier
     path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]+", "")
     if len(pairs) <= MAX_INLINE_RULES:
+        # null-safe equality: (host == h) is NULL for null hosts, and NULL
+        # fails a filter — coalescing keeps null-host rows (allow-all),
+        # consistent with the anti-join plan below
         cond = F.lit(True)
         for host, p in pairs:
-            cond = cond & ~((F.col(host_col) == host) & path.startswith(p))
+            cond = cond & ~(F.coalesce(F.col(host_col) == host, F.lit(False))
+                            & path.startswith(p))
         return frontier.filter(cond)
     spark = frontier.sparkSession
     rules_df = spark.createDataFrame(pairs, schema="__r_host string, __r_prefix string")

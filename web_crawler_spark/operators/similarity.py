@@ -41,6 +41,21 @@ def with_cosine(df, a_col: str, b_col: str, out: str = "cosine"):
         out, _dot(a, b) / (_norm(a) * _norm(b)))
 
 
+def with_norm(df, vec_col: str, out_vec: str = "v", out_norm: str = "norm"):
+    """Precompute the double-cast vector and its norm ONCE per row, before
+    any pairwise join — an all-pairs cosine then does one dot per pair
+    instead of dot+2 norms (same arithmetic, same doubles, ~3x fewer
+    aggregate evaluations inside the O(n^2) stage)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_vec, v).withColumn(out_norm, _norm(F.col(out_vec)))
+
+
+def pair_cosine(va, vb, na, nb):
+    """cosine from precomputed vectors+norms (see with_norm) — value-equal
+    to with_cosine (the norm is the same double either way)."""
+    return _dot(va, vb) / (na * nb)
+
+
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "query_id") -> DataFrame:

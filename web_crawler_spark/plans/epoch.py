@@ -57,7 +57,11 @@ ARTICLES_DDL = ("source_id bigint, url string, title string, content string, "
                 "priority int, discovered_seq bigint")
 METRICS_DDL = ("epoch int, host string, fetched bigint, parsed bigint, "
                "discovered bigint, skipped_dup bigint, skipped_date bigint, "
-               "errors bigint")
+               "skipped_robots bigint, errors bigint")
+SOURCES_DDL = ("id bigint, name string, url string, parser_class string, "
+               "is_active int, last_crawled string, created_at string")
+# mirrors the reference sources DDL (models/database.py:40-50); last_crawled
+# per-epoch update = S13 (database.py:134-146, applied crawler_manager.py:134)
 CHECKPOINT_DDL = ("epoch int, watermark_ts double, frontier_in bigint, "
                   "frontier_out bigint, articles_out bigint")
 # per-partition lineage rows (north_rule: per-partition watermarked
@@ -89,6 +93,13 @@ class CrawlConfig:
     n_salt: int = 8
     bloom_fpp: float = 0.01
     host_delays: Dict[str, float] = field(default_factory=dict)  # robots map
+    #: fault injection for the retry path (S5/T3): {url: n} makes the fetch
+    #: return HTTP 429 for that url until `retries >= n` — the sandbox pages
+    #: table cannot rate-limit, so tests drive the 429/backoff machinery
+    #: through this knob (reference behavior: Retry(total=3,
+    #: backoff_factor=1), base_crawler.py:43-48; 60 s penalty,
+    #: api/base_fetcher.py:123-126)
+    fault_429: Dict[str, int] = field(default_factory=dict)
     #: broadcast robots rules {host: (crawl_delay, [disallow_prefix, ...])}
     #: built via operators.robots.collect_rules; delays merged into
     #: host_delays at engine init, prefixes filter the frontier each epoch
@@ -108,6 +119,7 @@ class CrawlEngine:
                                      CHECKPOINT_DDL)
         self.partition_checkpoints = LakeTable(
             os.path.join(workdir, "partition_checkpoints"), PARTITION_CK_DDL)
+        self.sources = LakeTable(os.path.join(workdir, "sources"), SOURCES_DDL)
         self._bloom: Optional[dedup.BloomShards] = None
         self._frontier_rows: Optional[int] = None  # carried across epochs
         if self.cfg.robots_rules:
@@ -119,10 +131,28 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ seed
     def bootstrap(self, seeds: DataFrame) -> None:
-        """seeds(url, source_id, parser_class, priority) → frontier epoch 0.
-        Seeds are list pages (kind='list'); canonicalized like everything."""
+        """seeds(url, source_id, parser_class, priority[, name, is_active])
+        → sources registry + frontier epoch 0. Only ACTIVE sources are
+        seeded (S1: SELECT * FROM sources WHERE is_active = 1,
+        database.py:127-132); inactive rows are registered but never
+        crawled. Seeds are list pages (kind='list'); canonicalized like
+        everything."""
         if not self.frontier.is_empty():
             return                                    # resume: keep state
+        cols = seeds.columns
+        src = seeds.select(
+            F.col("source_id").alias("id"),
+            (F.col("name") if "name" in cols
+             else F.concat(F.lit("src-"), F.col("source_id").cast("string"))
+             ).alias("name"),
+            "url", "parser_class",
+            (F.col("is_active") if "is_active" in cols else F.lit(1))
+            .cast("int").alias("is_active"),
+            F.lit(None).cast("string").alias("last_crawled"),
+            F.lit(SCRAPED_TS).alias("created_at"))
+        self.sources.merge(self.spark, src, key="url", epoch=0)
+        if "is_active" in cols:
+            seeds = seeds.filter(F.col("is_active") == 1)     # S1 scan
         f = (canon.with_canonical(seeds)
              .select(
                  F.col("url_canon").alias("url"), "host",
@@ -163,10 +193,14 @@ class CrawlEngine:
         if frontier_in == 0:
             return {"frontier_in": 0, "articles_out": 0, "frontier_out": 0}
 
-        # 0) robots gate: disallowed paths never reach the scheduler
+        # 0) robots gate: disallowed paths never reach the scheduler. The
+        #    drop count is audited per epoch (skipped_robots metric) — one
+        #    extra count action, only when robots rules are configured.
+        n_robots_dropped = 0
         if self.cfg.robots_rules:
             from ..operators import robots
             frontier = robots.filter_allowed(frontier, self.cfg.robots_rules)
+            n_robots_dropped = frontier_in - frontier.count()
 
         # 1) politeness schedule: per-host token bucket, epoch budget
         sched = politeness.schedule_epoch(
@@ -200,9 +234,20 @@ class CrawlEngine:
         to_fetch = fresh.unionByName(lists.select(*fresh.columns))
         fetched = to_fetch.join(
             self.pages.select("url", "html"), on="url", how="left")
-        fetched = fetched.withColumn(
-            "fetch_status",
-            F.when(F.col("html").isNotNull(), F.lit("ok")).otherwise(F.lit("404")))
+        status = F.when(F.col("html").isNull(), F.lit("404"))
+        if cfg.fault_429:
+            # injected rate-limit faults (S5/T3): url 429s until its
+            # configured retry count is reached — drives the same backoff
+            # path a live fetcher would hit
+            fdf = self.spark.createDataFrame(
+                list(cfg.fault_429.items()), schema="url string, __fault_n int")
+            fetched = fetched.join(F.broadcast(fdf), "url", "left")
+            status = status.when(
+                F.col("__fault_n").isNotNull() &
+                (F.col("retries") < F.col("__fault_n")), F.lit("429"))
+        fetched = fetched.withColumn("fetch_status", status.otherwise(F.lit("ok")))
+        if cfg.fault_429:
+            fetched = fetched.drop("__fault_n")
         fetched = fetched.localCheckpoint(eager=True)
 
         ok = fetched.filter(F.col("fetch_status") == "ok")
@@ -260,7 +305,15 @@ class CrawlEngine:
         #    the checkpointed fetch result; parsed per host from the article
         #    output; skipped_dup is the epoch-total seen-filter drop count.
         n_parsed = out_articles.count()
-        n_attempted_arts = fetched.filter(F.col("kind") == "article").count()
+        # one agg over the checkpointed fetch result for both attempt counts
+        at = fetched.agg(
+            F.sum(F.when(F.col("kind") == "article", 1).otherwise(0))
+            .alias("arts_total"),
+            F.sum(F.when((F.col("kind") == "article") &
+                         (F.col("fetch_status") == "ok"), 1).otherwise(0))
+            .alias("arts_ok")).first()
+        n_attempted_arts = at["arts_total"] or 0     # incl. 404/429 rows
+        n_ok_arts = at["arts_ok"] or 0               # actually parsed input
         per_host_parsed = out_articles.groupBy("host").agg(
             F.count("*").alias("parsed"))
         m = (fetched.groupBy("host").agg(
@@ -275,9 +328,12 @@ class CrawlEngine:
              .withColumn("skipped_dup",
                          F.lit(n_sched_arts - n_attempted_arts).cast("bigint"))
              .withColumn("skipped_date",
-                         F.lit(n_attempted_arts - n_parsed).cast("bigint"))
+                         F.lit(n_ok_arts - n_parsed).cast("bigint"))
+             .withColumn("skipped_robots",
+                         F.lit(n_robots_dropped).cast("bigint"))
              .select("epoch", "host", "fetched", "parsed", "discovered",
-                     "skipped_dup", "skipped_date", "errors"))
+                     "skipped_dup", "skipped_date", "skipped_robots",
+                     "errors"))
 
         # per-partition watermarked lineage from the checkpointed fetch
         # result: partition id = the physical partition that fetched the row,
@@ -323,6 +379,22 @@ class CrawlEngine:
                 [(epoch, float(epoch), frontier_in, n_front_out, n_parsed)],
                 schema=CHECKPOINT_DDL), epoch)
         self.frontier.commit_staged_overwrite(epoch + 1)
+
+        # S13 — last_crawled per source (database.py:134-146, applied after
+        # each source crawl at crawler_manager.py:134). Runs after the
+        # frontier swap: a crash here loses only dim metadata, which the
+        # epoch replay refreshes; the deterministic stamp encodes the epoch.
+        if not self.sources.is_empty():
+            touched = (fetched.filter(F.col("fetch_status") == "ok")
+                       .select(F.col("source_id").alias("id")).distinct())
+            src = self.sources.read(self.spark)
+            stamp = f"{SCRAPED_TS}#epoch={epoch}"
+            upd = (src.join(touched.withColumn("__lc", F.lit(stamp)),
+                            "id", "left")
+                   .withColumn("last_crawled",
+                               F.coalesce("__lc", "last_crawled"))
+                   .drop("__lc"))
+            self.sources.overwrite(upd, epoch + 1)
         return {"frontier_in": frontier_in, "articles_out": n_parsed,
                 "frontier_out": n_front_out}
 

@@ -110,13 +110,22 @@ class LakeTable:
         for o in old:
             shutil.rmtree(o, ignore_errors=True)
 
+    #: merge() rewrites the WHOLE table per call (the sandbox stand-in for
+    #: Iceberg MERGE has no partition-pruned rewrite) — it is DIM-TABLE-ONLY
+    #: by contract. The guard makes routing a fact table (articles/frontier)
+    #: through it a hard error instead of an O(table)-per-batch slowdown.
+    MERGE_MAX_ROWS = 1_000_000
+
     def merge(self, spark: SparkSession, updates: DataFrame, key: str,
-              epoch: int) -> None:
+              epoch: int, max_rows: Optional[int] = None) -> None:
         """Idempotent upsert (Iceberg `MERGE INTO ... ON key` equivalent):
         existing rows win on key collision, new keys are appended — the
         reference's add-source semantics (get_by_url-else-create,
         /root/reference/app/models/database.py:96-125). Single-writer, like
-        every LakeTable op; on Iceberg this is one MERGE statement."""
+        every LakeTable op; on Iceberg this is one MERGE statement.
+
+        DIM-ONLY: raises when the current table exceeds ``max_rows``
+        (default MERGE_MAX_ROWS) — see the class attribute comment."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
         # de-dup the updates batch itself (deterministic first-by-sort-order
@@ -129,6 +138,14 @@ class LakeTable:
         if cur is None or self.is_empty():
             self.overwrite(updates, epoch)
             return
+        limit = max_rows if max_rows is not None else self.MERGE_MAX_ROWS
+        n_cur = cur.count()
+        if n_cur > limit:
+            raise ValueError(
+                f"LakeTable.merge is dim-table-only: {self.path} has "
+                f"{n_cur} rows > {limit}; the O(table) rewrite would make "
+                f"every batch rewrite the whole table. Use append() for "
+                f"fact tables (articles/frontier) instead.")
         fresh = updates.join(cur.select(key), key, "left_anti")
         self.overwrite(cur.unionByName(fresh), epoch)
 

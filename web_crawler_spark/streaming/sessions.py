@@ -48,20 +48,33 @@ def stream_sessionize(spark: SparkSession, events: DataFrame,
     ck = os.path.join(workdir, "ck")
     ev = events.select("user_id", "event_id",
                        F.col("ts").cast("timestamp").alias("ts"))
-    max_ts = ev.agg(F.max("ts")).first()[0]
+    mm = ev.agg(F.max("ts").alias("mx"), F.min("ts").alias("mn")).first()
+    max_ts, min_ts = mm["mx"], mm["mn"]
     if max_ts is None:      # empty input: no sessions, don't start a stream
         return spark.createDataFrame(
             [], schema="user_id bigint, n_sessions bigint")
     ev.repartition(4).write.parquet(src)
+    # The watermark delay must cover the FULL event-time span: micro-batch
+    # file order is arbitrary, so a batch may carry late events from
+    # anywhere in the range and the watermark must never finalize a session
+    # that can still receive them (a fixed 1s delay was only correct for
+    # files_per_trigger>=2 on a 4-file source — it silently dropped events
+    # at files_per_trigger=1).
+    span_s = int((max_ts - min_ts).total_seconds()) + 1
+    delay = f"{span_s} seconds"
+    # the sentinel sits past max_ts + delay + gap so its arrival pushes the
+    # watermark beyond every real session's end, flushing them in append mode
+    sentinel_ts = max_ts + _dt.timedelta(seconds=span_s) + \
+        _dt.timedelta(days=1)
     sentinel = spark.createDataFrame(
-        [(-1, -1, max_ts + _dt.timedelta(days=2))],
+        [(-1, -1, sentinel_ts)],
         schema="user_id bigint, event_id bigint, ts timestamp")
     sentinel.write.mode("append").parquet(src)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", files_per_trigger)
               .parquet(src)
-              .withWatermark("ts", "1 second")
+              .withWatermark("ts", delay)
               .groupBy(F.session_window("ts", gap), F.col("user_id"))
               .agg(F.count("*").alias("n_events")))
     qname = "sessions_" + uuid.uuid4().hex[:8]
