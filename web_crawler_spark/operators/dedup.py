@@ -45,16 +45,19 @@ def first_occurrence(df: DataFrame, key: str, order_col: str) -> DataFrame:
 # D2 — sharded Bloom URL-seen filter
 # ---------------------------------------------------------------------------
 
-def _hash_pair(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per value (blake2b 16-byte digest split).
-    Deterministic across Python workers (no PYTHONHASHSEED dependence)."""
-    h1 = np.empty(len(values), dtype=np.uint64)
-    h2 = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        d = hashlib.blake2b((v or "").encode("utf-8"), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little")
-    return h1, h2
+def bloom_hash_cols(url_col):
+    """Two independent 64-bit hash COLUMNS, JVM-side (whole-stage codegen):
+    xxhash64(url) and xxhash64(url, 1). Replaces the round-1 per-row Python
+    blake2b loop — at 10^10 URLs the seen-filter's hashing now never enters
+    Python; the pandas side only does vectorized numpy bit math over the
+    precomputed values. Deterministic across runs/workers (fixed seed 42
+    inside Spark's xxhash64)."""
+    return (F.xxhash64(url_col), F.xxhash64(url_col, F.lit(1)))
+
+
+def _as_u64(s: pd.Series) -> np.ndarray:
+    """Signed bigint column → uint64 bit-pattern (wrapping view)."""
+    return s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
 
 
 class BloomShards:
@@ -84,33 +87,27 @@ class BloomShards:
         return cls(n_shards=n_shards, n_bits_per_shard=m, n_hashes=min(k, 12))
 
     # -- build (distributed) -------------------------------------------------
-    def _shard_col(self, url_col):
-        """Shard id from the same blake h1 used for the bit positions, so the
-        probe (Python-side) routes to the identical shard."""
-        n_shards = self.n_shards
-
-        @pandas_udf("int")
-        def shard(urls: pd.Series) -> pd.Series:
-            h1, _ = _hash_pair(urls)
-            return pd.Series((h1 % np.uint64(n_shards)).astype(np.int32))
-
-        return shard(url_col)
-
     def add_df(self, df: DataFrame, url_col: str = "url") -> "BloomShards":
+        """Hashing is entirely JVM-side (bloom_hash_cols): the applyInPandas
+        stage receives precomputed (h1, h2) and only ORs bits — a vectorized
+        numpy pass, no per-row Python anywhere in the build."""
         n_bits, n_hashes = self.n_bits, self.n_hashes
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["__shard"].iloc[0])
             arr = np.zeros(n_bits // 8, dtype=np.uint8)
-            h1, h2 = _hash_pair(pdf[url_col])
+            h1, h2 = _as_u64(pdf["__h1"]), _as_u64(pdf["__h2"])
             for i in range(n_hashes):
                 idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
                 np.bitwise_or.at(arr, (idx // 8).astype(np.int64),
                                  np.uint8(1) << (idx % 8).astype(np.uint8))
             return pd.DataFrame({"shard": [shard], "bits": [arr.tobytes()]})
 
-        built = (df.select(F.col(url_col).alias(url_col))
-                 .withColumn("__shard", self._shard_col(F.col(url_col)))
+        h1, h2 = bloom_hash_cols(F.col(url_col))
+        built = (df.select(h1.alias("__h1"), h2.alias("__h2"))
+                 .withColumn("__shard",
+                             F.pmod(F.col("__h1"), F.lit(self.n_shards))
+                             .cast("int"))
                  .groupBy("__shard")
                  .applyInPandas(build, schema="shard int, bits binary")
                  .collect())
@@ -124,16 +121,20 @@ class BloomShards:
 
     # -- probe (broadcast) ----------------------------------------------------
     def might_contain_udf(self):
+        """(h1, h2) → bool. Hash columns are computed JVM-side by the caller
+        (bloom_hash_cols); the UDF is pure vectorized numpy bit probing —
+        shard routing replicates JVM pmod via numpy's divisor-sign modulo."""
         bits, n_shards, n_bits, n_hashes = (
             dict(self.bits), self.n_shards, self.n_bits, self.n_hashes)
 
         @pandas_udf("boolean")
-        def probe(urls: pd.Series) -> pd.Series:
-            if not len(urls):
+        def probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+            if not len(h1s):
                 return pd.Series([], dtype="bool")
-            out = np.zeros(len(urls), dtype=bool)
-            h1, h2 = _hash_pair(urls)
-            shards = (h1 % np.uint64(n_shards)).astype(np.int64)
+            out = np.zeros(len(h1s), dtype=bool)
+            h1_signed = h1s.to_numpy(dtype=np.int64, na_value=0)
+            h1, h2 = h1_signed.view(np.uint64), _as_u64(h2s)
+            shards = h1_signed % n_shards        # == JVM pmod
             for s in np.unique(shards):
                 arr = bits.get(int(s))
                 if arr is None:
@@ -165,7 +166,8 @@ def seen_filter(candidates: DataFrame, seen_df: Optional[DataFrame],
     if bloom is None or not bloom.bits:
         return candidates.join(seen_urls, on=url_col, how="left_anti")
     probe = bloom.might_contain_udf()
-    flagged = candidates.withColumn("__maybe_seen", probe(F.col(url_col)))
+    h1, h2 = bloom_hash_cols(F.col(url_col))
+    flagged = candidates.withColumn("__maybe_seen", probe(h1, h2))
     fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspect = (flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
                .join(seen_urls, on=url_col, how="left_anti"))
