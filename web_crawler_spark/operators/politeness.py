@@ -6,13 +6,14 @@ Reference semantics: one crawler instance per source enforces
 backoff_factor=1 (base_crawler.py:43-48) and the API path sleeps 60 s on 429
 (api/base_fetcher.py:123-126).
 
-Spark realization: the frontier is grouped by host; inside each group an
-Arrow-batched token-bucket assigns monotone ``sched_ts`` honoring the host's
-crawl delay, in (priority, next_fetch_ts, discovered_seq) order — the total
-order the reference's sequential loop induces. Groups are host-sized, which
-per epoch is bounded by the politeness budget itself (a host can only absorb
-epoch_seconds/delay URLs per epoch), so groupBy(host).applyInPandas never
-sees an unbounded group — the natural cap is enforced by ``per_host_budget``.
+Spark realization: a two-phase per-host budget truncation (no single task
+ever sorts a hot host's whole backlog) followed by a pure window-function
+token bucket — sched_ts = runningmax(greatest(epoch_start + delay·rank,
+next_fetch_ts)) over the per-host (priority, next_fetch_ts, discovered_seq)
+order, the total order the reference's sequential loop induces. No Python
+anywhere in the schedule; per-host group size is bounded by
+``per_host_budget`` (a host can only absorb epoch_seconds/delay URLs per
+epoch anyway).
 
 Skew: the *schedule* must be per-host-sequential, but the downstream
 fetch-join + parse need not be. After scheduling we repartition by
@@ -26,7 +27,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +66,12 @@ def truncate_per_host(frontier: DataFrame, per_host_budget: int,
             .filter(F.col("__rk") <= per_host_budget).drop("__rk"))
 
 
+#: above this many distinct per-host crawl delays the inlined CASE chain
+#: would blow up the expression tree — switch to a broadcast-joined delay
+#: dimension (the web-scale shape: millions of robots Crawl-delays)
+MAX_INLINE_DELAYS = 64
+
+
 def schedule_epoch(frontier: DataFrame,
                    default_delay: float = 1.0,
                    per_host_budget: int = 10_000,
@@ -79,34 +85,43 @@ def schedule_epoch(frontier: DataFrame,
     (+payload). Output adds sched_ts double and keeps only the first
     ``per_host_budget`` rows per host for this epoch (the rest stay enqueued
     for the next epoch).
+
+    Entirely JVM-side: two-phase budget truncation, then the token bucket as
+    window expressions — sched_ts = runningmax(greatest(epoch_start +
+    delay·row_number, next_fetch_ts)) over the per-host crawl order. The
+    running max keeps the bucket monotone when a retry's next_fetch_ts
+    (backoff penalty) pushes a row later. Round 1 ran this as an
+    applyInPandas token bucket; the window form is value-identical and takes
+    Python (and the hot host's serial pandas group) out of the schedule.
     """
     host_delays = host_delays or {}
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in frontier.schema.fields
-    ) + ", sched_ts double"
-
-    # Two-phase truncation BEFORE the pandas groups: bounds both the JVM
-    # window sort (per-bucket) and the pandas group size (≤ budget rows) —
-    # no single task ever sees the hot host's whole backlog.
     frontier = truncate_per_host(frontier, per_host_budget, prebucket)
 
-    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        host = pdf["host"].iloc[0]
-        delay = float(host_delays.get(host, default_delay))
-        pdf = pdf.sort_values(
-            ["priority", "next_fetch_ts", "discovered_seq"],
-            kind="mergesort").head(per_host_budget).copy()
-        base = epoch_start_ts + delay
-        sched = base + delay * pd.RangeIndex(len(pdf)).to_numpy(dtype="float64")
-        # a row's own next_fetch_ts (retry backoff) can push it later; keep
-        # the bucket monotone afterwards
-        sched = pd.Series(sched, index=pdf.index)
-        sched = pd.concat([sched, pdf["next_fetch_ts"].astype("float64")],
-                          axis=1).max(axis=1).cummax()
-        pdf["sched_ts"] = sched
-        return pdf
+    if len(host_delays) <= MAX_INLINE_DELAYS:
+        delay = F.lit(float(default_delay))
+        for h, d in host_delays.items():
+            delay = F.when(F.col("host") == h, F.lit(float(d))).otherwise(delay)
+        frontier = frontier.withColumn("__delay", delay)
+    else:
+        ddf = frontier.sparkSession.createDataFrame(
+            [(h, float(d)) for h, d in host_delays.items()],
+            schema="host string, __hd double")
+        frontier = (frontier.join(F.broadcast(ddf), "host", "left")
+                    .withColumn("__delay",
+                                F.coalesce("__hd",
+                                           F.lit(float(default_delay))))
+                    .drop("__hd"))
 
-    return frontier.groupBy("host").applyInPandas(assign, schema=out_schema)
+    from pyspark.sql import Window
+    order = [F.col("priority").asc(), F.col("next_fetch_ts").asc(),
+             F.col("discovered_seq").asc()]
+    w = Window.partitionBy("host").orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = (F.lit(float(epoch_start_ts)) +
+            F.col("__delay") * F.row_number().over(w))
+    sched = F.max(F.greatest(base, F.col("next_fetch_ts"))).over(run)
+    return (frontier.withColumn("sched_ts", sched.cast("double"))
+            .drop("__delay"))
 
 
 def hot_host_salts(frontier: DataFrame, hot_threshold: int = 50_000,
