@@ -190,3 +190,25 @@ def test_winnow_fingerprints_golden(spark):
         "doc_id", T.winnow_fingerprints_udf()(F.col("text")).alias("fp"))
         .collect()}
     assert res[0] & res[1]
+
+
+def test_ivf_finds_planted_twin_and_beats_probe_fraction(spark):
+    """IVF-flat: an exact-duplicate vector is assigned to the same inverted
+    list as its twin (same argmax centroid), so with any n_probe >= 1 the
+    twin must be the rank-1 neighbor — and the candidate set stays a
+    fraction of the corpus (the IVF point)."""
+    from web_crawler_spark.operators import similarity
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .filter(F.col("vec_id") < 200).select("vec_id", "embedding"))
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dup)
+    queries = emb.limit(30).select(F.col("vec_id").alias("query_id"),
+                                   "embedding")
+    out = similarity.ivf_cosine_topk(corpus, queries, k=3, n_clusters=8,
+                                     n_probe=2)
+    rank1 = {r.query_id: (r.vec_id, r.cosine) for r in out.collect()
+             if r.rank == 1}
+    for qid in rank1:
+        nid, cos = rank1[qid]
+        assert nid == qid + 100000, (qid, nid)
+        assert abs(cos - 1.0) < 1e-3

@@ -604,6 +604,55 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+@_q("ivf_cosine_topk", """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid)
+                 AS rn
+      FROM (SELECT e.vec_id, e.v, c.cid,
+                   list_dot_product(e.v, c.cv) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(c.cv, c.cv))) AS cos
+            FROM corpus e CROSS JOIN cent c)),
+    ivf AS (SELECT vec_id, v, cid AS cluster FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+            SELECT vec_id, v, cid AS cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT e.vec_id, e.v, c.cid,
+                         list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(c.cv, c.cv))) AS cos
+                  FROM corpus e CROSS JOIN cent c
+                  WHERE e.vec_id < 5))
+          WHERE rn <= 4)
+    SELECT query_id, vec_id, CAST(round(cosine, 4) AS DOUBLE) AS cosine, rank
+    FROM (SELECT q.query_id, i.vec_id,
+                 list_dot_product(i.v, q.qv) /
+                 (sqrt(list_dot_product(i.v, i.v)) *
+                  sqrt(list_dot_product(q.qv, q.qv))) AS cosine,
+                 row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY list_dot_product(i.v, q.qv) /
+                              (sqrt(list_dot_product(i.v, i.v)) *
+                               sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                     i.vec_id ASC) AS rank
+          FROM q JOIN ivf i ON q.cluster = i.cluster
+          WHERE i.vec_id <> q.query_id)
+    WHERE rank <= 5""")
+def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the bucketed scale path with a full value oracle):
+    coarse-quantize → probe 4 of 16 inverted lists → exact in-list rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_cosine_topk(emb, queries, k=5, n_clusters=16,
+                                      n_probe=4)
+
+
 @_q("lsh_cosine_buckets")  # no SQL oracle: seeded-hyperplane LSH (rows-only)
 def lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH banding + in-bucket rerank."""

@@ -78,6 +78,7 @@ def schedule_epoch(frontier: DataFrame,
                    epoch_start_ts: float = 0.0,
                    host_delays: Optional[Dict[str, float]] = None,
                    prebucket: bool = True,
+                   approx_rows: Optional[int] = None,
                    ) -> DataFrame:
     """Assign sched_ts per row, per-host token bucket.
 
@@ -95,7 +96,16 @@ def schedule_epoch(frontier: DataFrame,
     Python (and the hot host's serial pandas group) out of the schedule.
     """
     host_delays = host_delays or {}
-    frontier = truncate_per_host(frontier, per_host_budget, prebucket)
+    # ``approx_rows`` (the caller's known frontier count) prunes no-op work:
+    # a frontier that fits the budget outright needs no truncation at all,
+    # and the prebucket phase only pays off when a single host could exceed
+    # the budget — both windows are exact either way, this is plan pruning.
+    if approx_rows is not None and approx_rows <= per_host_budget:
+        pass                                    # truncation is a no-op
+    else:
+        if approx_rows is not None:
+            prebucket = prebucket and approx_rows > 4 * per_host_budget
+        frontier = truncate_per_host(frontier, per_host_budget, prebucket)
 
     if len(host_delays) <= MAX_INLINE_DELAYS:
         delay = F.lit(float(default_delay))

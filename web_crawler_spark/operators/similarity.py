@@ -74,6 +74,56 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     "rank"))
 
 
+def _assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str,
+                     key_col: str, n_keep: int, out: str) -> DataFrame:
+    """Nearest-centroid assignment (n_keep=1) / probe-list expansion
+    (n_keep=n_probe) via a broadcast cross join + per-key window — all
+    JVM expressions, deterministic tie-break (cosine desc, cid asc)."""
+    x = with_cosine(df.crossJoin(broadcast(centroids)), vec_col, "__cv",
+                    "__ccos")
+    w = Window.partitionBy(key_col).orderBy(F.col("__ccos").desc(),
+                                            F.col("__cid").asc())
+    return (x.withColumn("__crn", F.row_number().over(w))
+            .filter(F.col("__crn") <= n_keep)
+            .select(*df.columns, F.col("__cid").alias(out)))
+
+
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    n_clusters: int = 16, n_probe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id") -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into n_clusters inverted
+    lists, probe only the n_probe nearest lists per query, exact cosine
+    rerank inside the probed lists.
+
+    Centroids here are the deterministic first n_clusters corpus vectors —
+    the quantizer is pluggable (swap in k-means means at scale); the IVF
+    *plumbing* is what this operator owns: assignment is a broadcast
+    cross-join (codegen dot products), the index is the `cluster` column
+    (at 10^9 vectors: write the corpus bucketed by cluster so a probe scans
+    only n_probe/n_clusters of the data — same shape as the bucketed fetch
+    join), and the only wide exchange is the candidate join keyed on
+    cluster. Every expression is DuckDB-restatable, so unlike hyperplane
+    LSH this ANN path is value-checked by the driver's oracle."""
+    centroids = (embeddings.orderBy(id_col).limit(n_clusters)
+                 .select(F.col(id_col).alias("__cid"),
+                         F.col(vec_col).alias("__cv")))
+    corpus = _assign_clusters(embeddings.select(id_col, vec_col), centroids,
+                              vec_col, id_col, 1, "cluster")
+    qs = _assign_clusters(
+        queries.select(qid_col, F.col(vec_col).alias("__qvec")), centroids,
+        "__qvec", qid_col, n_probe, "cluster")
+    cand = (qs.join(corpus, "cluster")
+            .filter(F.col(id_col) != F.col(qid_col)))
+    scored = with_cosine(cand, vec_col, "__qvec", "cosine")
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, F.round("cosine", 4).alias("cosine"),
+                    "rank"))
+
+
 @lru_cache(maxsize=4)
 def _hyperplane_sig_udf(dim: int, n_bits: int, seed: int):
     rng = np.random.RandomState(seed)

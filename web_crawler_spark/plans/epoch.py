@@ -207,7 +207,8 @@ class CrawlEngine:
             frontier, default_delay=cfg.request_delay,
             per_host_budget=cfg.per_host_budget,
             epoch_start_ts=float(epoch) * cfg.per_host_budget * cfg.request_delay,
-            host_delays=cfg.host_delays)
+            host_delays=cfg.host_delays,
+            approx_rows=frontier_in - n_robots_dropped)
         sched = sched.localCheckpoint(eager=True)  # cut lineage per epoch
         taken_keys = sched.select("url", "discovered_seq")
         leftover = frontier.join(taken_keys, ["url", "discovered_seq"],
