@@ -40,6 +40,8 @@ HEADLINE = [
     "token_stats",          # tokenization rollup
     "quality_scores",       # quality features, pure built-ins
     "ann_cosine_topk",      # brute-force cosine top-k
+    "ivf_cosine_topk",      # IVF-flat ANN (probe n of k inverted lists)
+    "multimodal_features",  # mapInPandas binary-payload feature plumbing
 ]
 
 

@@ -253,3 +253,34 @@ def test_two_phase_truncation_equals_single_window(spark):
     plan = buf.getvalue()
     assert plan.count("Window") >= 2          # two-phase
     assert "__bkt" in plan                    # phase 1 partitions by bucket
+
+
+def test_engine_with_bucketed_pages_matches_plain(spark, tmp_path, web):
+    """The co-located fetch-join layout: CrawlEngine over a url-bucketed
+    pages table produces the identical article set, and the join fragment
+    has NO exchange on the (html-carrying) pages side."""
+    import contextlib
+    import io
+    import re
+    from web_crawler_spark.sources import tables as tb
+    pages_plain = html_synth.pages_df(spark, web)
+    path = str(tmp_path / "pages_bucketed")
+    tb.write_bucketed_pages(pages_plain, path, table="pages_bkt_test",
+                            n_buckets=8)
+    pages_b = tb.read_bucketed_pages(spark, path, table="pages_bkt_test",
+                                     n_buckets=8)
+    seeds = html_synth.seeds_df(spark, web)
+    eng = CrawlEngine(spark, str(tmp_path / "w"), pages_b, CrawlConfig())
+    eng.run(seeds, max_epochs=6)
+    golden = refspec.simulate_crawl(web["pages"], web["seeds"])
+    got = {r["url"] for r in eng.articles.read(spark).collect()}
+    assert got == {a["url"] for a in golden["articles"]}
+    frontier = spark.createDataFrame(
+        [(f"https://x/{i}",) for i in range(100)], "url string")
+    j = frontier.hint("shuffle_hash").join(
+        pages_b.select("url", "html"), "url", "left")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

@@ -33,6 +33,35 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_bucketed_pages(pages: DataFrame, path: str, table: str = "pages",
+                         n_buckets: int = 64) -> None:
+    """Persist the pages table bucketed+sorted by url — the co-located
+    fetch-join layout (SURVEY §7: Iceberg `bucket(url)` on both sides). A
+    frontier⋈pages join against :func:`read_bucketed_pages` output then
+    shuffles ONLY the frontier side; the html payload never leaves its
+    scan-local bucket. Profiled at 960k pages / 8 cores: the html shuffle
+    was ~23 s of a 56 s epoch."""
+    (pages.write.mode("overwrite").bucketBy(n_buckets, "url").sortBy("url")
+     .option("path", path).saveAsTable(table))
+
+
+def read_bucketed_pages(spark: SparkSession, path: str,
+                        table: str = "pages", n_buckets: int = 64,
+                        schema_ddl: str = ("url string, warc_ts timestamp, "
+                                           "html binary, text string, "
+                                           "lang string")) -> DataFrame:
+    """Re-attach bucket metadata over an existing bucketed-pages location
+    (sessions/JVMs don't share the in-memory catalog, the files carry the
+    bucket ids). Idempotent per session."""
+    if not spark.catalog.tableExists(table):
+        spark.sql(f"""
+            CREATE TABLE {table} ({schema_ddl})
+            USING parquet
+            CLUSTERED BY (url) SORTED BY (url) INTO {n_buckets} BUCKETS
+            LOCATION '{path}'""")
+    return spark.table(table)
+
+
 class LakeTable:
     def __init__(self, path: str, schema_ddl: Optional[str] = None):
         self.path = path
