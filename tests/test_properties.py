@@ -84,3 +84,33 @@ def test_extract_links_order_preserving_dedup(hrefs):
     links = refspec.extract_links(html.encode(), "https://www.rbc.ua/x", "rbc")
     got = [ln["url"].split("rbc.ua")[1].split("?")[0] for ln in links]
     assert got == list(dict.fromkeys(hrefs))
+
+
+@settings(max_examples=300, deadline=None)
+@given(url_text)
+def test_canonicalize_batch_matches_refspec(u):
+    """The vectorized Arrow-batch canonicalizer must agree byte-for-byte
+    with the pure refspec function on EVERY input (fast path or fallback)."""
+    import pandas as pd
+    from web_crawler_spark.functions.canonicalize import canonicalize_batch
+    got = canonicalize_batch(pd.Series([u], dtype="object"))[0]
+    want = refspec.canonicalize_url(u) if u else None
+    assert (None if got is None else got) == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(["http", "HTTP", "https", "ftp"]),
+       st.sampled_from(["Ex.COM", "a-b.c", "h", "www.x.y.rbc.ua"]),
+       st.sampled_from(["", ":80", ":443", ":8080", ":0080"]),
+       st.sampled_from(["", "/", "/a/b", "/a;p", "/a%20b", "/a.b-c_d~e"]),
+       st.sampled_from(["", "?", "?b=2&a=1", "?a-=x&a=y", "?a=1&&b=2",
+                        "?x", "?=v", "?a=b=c", "?a=", "?k=v#frag", "#f"]))
+def test_canonicalize_fast_path_structured(sch, host, port, path, q):
+    """Structured generator hitting the fast-path grammar and its escape
+    hatches (tuple-vs-string sort trap 'a-=x&a=y', bare keys, double '=',
+    empty pairs, default ports)."""
+    import pandas as pd
+    from web_crawler_spark.functions.canonicalize import canonicalize_batch
+    u = f"{sch}://{host}{port}{path}{q}"
+    got = canonicalize_batch(pd.Series([u], dtype="object"))[0]
+    assert got == refspec.canonicalize_url(u)
