@@ -519,6 +519,20 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_docs")))
 
 
+@_q("bpe_token_stats", """
+    SELECT doc_id,
+           len(list_filter(
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS n_subword
+    FROM documents""")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counting (split on non-alphanumeric runs) —
+    the tokenizer-proxy knob of the token-counting family."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.bpe_ish_token_count_col(F.col("text")).alias("n_subword"))
+
+
 @_q("quality_scores", """
     SELECT doc_id,
            length(text) AS n_chars,
@@ -731,6 +745,23 @@ def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.stream_sessionize(spark, ev)
 
 
+@_q("stream_windowed_counts", """
+    SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2""")
+def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window rollup (watermark + append
+    mode over a multi-micro-batch file stream) — the streaming fetch-log
+    metrics shape; value-checked against the batch GROUP BY oracle."""
+    from .streaming import sessions
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    return sessions.stream_windowed_counts(spark, ev, window="1 day")
+
+
 @_q("csv_roundtrip", f"""
     SELECT {_URL_SQL} AS url,
            'Doc ' || doc_id AS title,
@@ -802,6 +833,31 @@ def articles_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(1).alias("is_active")))
     hits = Q.search(arts, sources, "spark", limit=50)
     return hits.select("url", "title", "source_name", "published_date")
+
+
+@_q("articles_recent", f"""
+    SELECT a.url, a.title, 'src-' || a.source_id AS source_name,
+           a.published_date
+    FROM (SELECT {_URL_SQL} AS url, 'Doc ' || doc_id AS title,
+                 {_PUBDATE_SQL} AS published_date,
+                 {_HOST_SQL} AS source_id
+          FROM documents) a
+    ORDER BY a.published_date DESC, a.url DESC
+    LIMIT 10""")
+def articles_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/J1 through the library surface (queries.latest_with_source): the
+    reference's recent-articles listing — broadcast dim join + deterministic
+    top-k (database.py:231-237,257-268 → TakeOrderedAndProject)."""
+    from . import queries as Q
+    arts = crawl_extract(spark, sf_dir).withColumn(
+        "source_id",
+        F.regexp_extract(F.col("url"), r"h(\d+)\.rbc", 1).cast("bigint"))
+    sources = (arts.select("source_id").distinct()
+               .select(F.col("source_id").alias("id"),
+                       F.concat(F.lit("src-"),
+                                F.col("source_id").cast("string")).alias("name")))
+    out = Q.latest_with_source(arts, sources, limit=10)
+    return out.select("url", "title", "source_name", "published_date")
 
 
 @_q("api_ingest", f"""

@@ -88,3 +88,57 @@ def stream_sessionize(spark: SparkSession, events: DataFrame,
             .filter(F.col("user_id") >= 0)
             .groupBy("user_id")
             .agg(F.count("*").cast("bigint").alias("n_sessions")))
+
+
+def stream_windowed_counts(spark: SparkSession, events: DataFrame,
+                           window: str = "1 hour", key_col: str = "event_type",
+                           files_per_trigger: int = 2) -> DataFrame:
+    """Watermarked TUMBLING-window aggregation on the streaming runtime —
+    the fetch-log rollup shape (events/sec per host per window is the crawl
+    monitoring query at scale). Mechanics mirror stream_sessionize: staged
+    multi-file parquet source so several micro-batches run, span-covering
+    watermark so trigger granularity can't drop late events, sentinel past
+    every window so append mode flushes all of them.
+
+    Returns (window_start timestamp, <key_col>, n_events) — finalized
+    windows only, sentinel excluded.
+    """
+    from ..util import scratch_dir
+    workdir = scratch_dir("wcs-wstream-")
+    src = os.path.join(workdir, "src")
+    ck = os.path.join(workdir, "ck")
+    ev = events.select(F.col(key_col).alias("__k"),
+                       F.col("ts").cast("timestamp").alias("ts"))
+    mm = ev.agg(F.max("ts").alias("mx"), F.min("ts").alias("mn")).first()
+    max_ts, min_ts = mm["mx"], mm["mn"]
+    if max_ts is None:
+        return spark.createDataFrame(
+            [], schema=f"window_start timestamp, {key_col} string, "
+                       f"n_events bigint")
+    ev.repartition(4).write.parquet(src)
+    span_s = int((max_ts - min_ts).total_seconds()) + 1
+    delay = f"{span_s} seconds"
+    sentinel_ts = max_ts + _dt.timedelta(seconds=span_s) + \
+        _dt.timedelta(days=2)
+    spark.createDataFrame([("__sentinel__", sentinel_ts)],
+                          schema="__k string, ts timestamp") \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", files_per_trigger)
+              .parquet(src)
+              .withWatermark("ts", delay)
+              .groupBy(F.window("ts", window), F.col("__k"))
+              .agg(F.count("*").alias("n_events")))
+    qname = "wcounts_" + uuid.uuid4().hex[:8]
+    q = (stream.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ck).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(qname)
+            .filter(F.col("__k") != "__sentinel__")
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("__k").alias(key_col),
+                    F.col("n_events").cast("bigint").alias("n_events")))
