@@ -284,3 +284,28 @@ def test_engine_with_bucketed_pages_matches_plain(spark, tmp_path, web):
         j.explain("formatted")
     plan = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_multi_backend_sink_fanout(spark, tmp_path, web):
+    """S11 — one cached article batch written to BOTH backends (lake table
+    and CSV), read back equal (models/storage.py:37-85: db and/or csv per
+    DATA_STORAGE)."""
+    from web_crawler_spark.functions import extract as ex
+    from web_crawler_spark.sources.tables import LakeTable
+    golden = refspec.simulate_crawl(web["pages"], web["seeds"])
+    arts = spark.createDataFrame(
+        [(a["url"], a["title"], a["content"]) for a in golden["articles"]],
+        schema="url string, title string, content string").cache()
+    lake = LakeTable(str(tmp_path / "articles"),
+                     "url string, title string, content string")
+    lake.append(arts, epoch=0)
+    csv_dir = str(tmp_path / "csv")
+    (arts.select("url", "title",
+                 ex.csv_flatten_col(F.col("content")).alias("content"))
+     .write.option("header", True).csv(csv_dir))
+    from_lake = {(r["url"], r["title"]) for r in lake.read(spark).collect()}
+    from_csv = {(r["url"], r["title"]) for r in
+                spark.read.option("header", True).csv(csv_dir).collect()}
+    want = {(a["url"], a["title"]) for a in golden["articles"]}
+    assert from_lake == want and from_csv == want
+    arts.unpersist()
