@@ -309,3 +309,38 @@ def test_multi_backend_sink_fanout(spark, tmp_path, web):
     want = {(a["url"], a["title"]) for a in golden["articles"]}
     assert from_lake == want and from_csv == want
     arts.unpersist()
+
+
+def test_schedule_invariants_with_retry_bumps(spark):
+    """JVM window token bucket invariants on a frontier with random retry
+    backoffs: per host, sched_ts is non-decreasing in crawl order, at least
+    delay apart unless a next_fetch_ts bump collapsed the gap, and never
+    before the row's own next_fetch_ts."""
+    import random
+    from web_crawler_spark.operators import politeness
+    rng = random.Random(11)
+    rows = []
+    for i in range(3000):
+        rows.append((f"https://h{i % 5}/u{i}", f"h{i % 5}",
+                     rng.randrange(3), float(rng.choice([0.0, 0.0, 0.0, 37.5,
+                                                         120.0, 61.0])), i))
+    df = spark.createDataFrame(
+        rows, schema="url string, host string, priority int, "
+                     "next_fetch_ts double, discovered_seq bigint")
+    out = politeness.schedule_epoch(df, default_delay=2.0,
+                                    per_host_budget=10_000)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["host"], []).append(
+            (r["priority"], r["next_fetch_ts"], r["discovered_seq"],
+             r["sched_ts"]))
+    assert len(got) == 5
+    for host, rs in got.items():
+        rs.sort(key=lambda t: (t[0], t[1], t[2]))
+        prev = None
+        for k, (_p, nft, _seq, sched) in enumerate(rs):
+            assert sched >= nft - 1e-9
+            assert sched >= 2.0 * (k + 1) - 1e-9      # base pacing floor
+            if prev is not None:
+                assert sched >= prev - 1e-9           # monotone
+            prev = sched

@@ -860,6 +860,25 @@ def articles_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "title", "source_name", "published_date")
 
 
+@_q("sources_listing", f"""
+    SELECT 'src-' || source_id AS source_name, count(*) AS n_articles
+    FROM (SELECT {_HOST_SQL} AS source_id FROM documents)
+    GROUP BY 1""")
+def sources_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cmd_sources analog (cli.py:58-76): per-source article counts as ONE
+    broadcast join + groupBy instead of the reference's N+1 query loop
+    (A5 through queries.count_by_source_name)."""
+    from . import queries as Q
+    arts = crawl_extract(spark, sf_dir).withColumn(
+        "source_id",
+        F.regexp_extract(F.col("url"), r"h(\d+)\.rbc", 1).cast("bigint"))
+    sources = (arts.select("source_id").distinct()
+               .select(F.col("source_id").alias("id"),
+                       F.concat(F.lit("src-"),
+                                F.col("source_id").cast("string")).alias("name")))
+    return Q.count_by_source_name(arts, sources)
+
+
 @_q("api_ingest", f"""
     SELECT 'https://api.example/a' || doc_id AS url,
            'Doc ' || doc_id AS title,
