@@ -132,6 +132,15 @@ def worker(workdir: str, cores: int) -> None:
     # warm: touch footers + JIT the scan paths, not the pipeline under test
     pages.select(F.count("*")).collect()
     raw.select(F.count("*")).collect()
+    # ...and the python workers: each worker pays ~1s of pandas/pyarrow/
+    # module import on its FIRST Arrow batch — a fixed per-stage cost that
+    # belongs to interpreter startup (excluded, like JVM startup), not to
+    # the epoch under test. One tiny per-partition UDF eval imports
+    # everything in every worker.
+    warm = spark.range(0, 4 * cores, 1, 4 * cores) \
+        .select(F.col("id").cast("string").alias("url"))
+    warm.select(canon.canonicalize_udf()(F.col("url")).alias("c")) \
+        .filter(F.col("c").isNotNull()).count()
 
     out = os.path.join(workdir, f"out-{cores}")
     t0 = time.time()
