@@ -86,8 +86,7 @@ def _simhash_py(text: str) -> int:
     toks = sorted(set(text.split()))
     votes = [0] * 64
     for tok in toks:
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[8:16], "little")
         for b in range(64):
             votes[b] += 1 if (h >> b) & 1 else -1
     sig = 0
@@ -158,9 +157,8 @@ def test_winnow_fingerprints_golden(spark):
         if len(toks) < k:
             return set()
         hs = [int.from_bytes(
-            hashlib.blake2b(" ".join(toks[i:i + k]).encode(),
-                            digest_size=8).digest(), "little")
-            for i in range(len(toks) - k + 1)]
+            hashlib.md5(" ".join(toks[i:i + k]).encode()).digest()[8:16],
+            "little") for i in range(len(toks) - k + 1)]
         if len(hs) < w:
             return {min(hs)}
         sel = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}

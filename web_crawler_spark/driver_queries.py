@@ -466,10 +466,49 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    bands=32, jaccard_threshold=0.8)
 
 
-@_q("simhash_near_dup")  # rows-only: simhash isn't SQL-expressible in DuckDB
+@_q("simhash_near_dup", """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000, text FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM corpus)
+      WHERE tok <> ''),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ((md5_number_lower(tok) >> b) & 1) = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM toks CROSS JOIN generate_series(0, 63) AS g(b)
+      GROUP BY doc_id, b),
+    raw_sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS s
+      FROM votes GROUP BY doc_id),
+    sigs AS (
+      SELECT c.doc_id,
+             CAST(CASE WHEN s >= 9223372036854775808
+                       THEN s - 18446744073709551616 ELSE coalesce(s, 0) END
+                  AS BIGINT) AS sig
+      FROM corpus c LEFT JOIN raw_sigs r ON c.doc_id = r.doc_id),
+    bands AS (
+      SELECT doc_id, sig, k AS band, (sig >> (k * 16)) & 65535 AS band_val
+      FROM sigs CROSS JOIN generate_series(0, 3) AS t(k)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sa, b.sig AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3""")
 def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup with planted duplicates (hamming 0); invariants
-    (planted pairs found, hamming bound) are pytest-asserted instead."""
+    """SimHash near-dup over a corpus with planted duplicates — the token
+    hash is md5_number_lower-compatible, so the full pipeline (bit-majority
+    signatures → 4×16-bit band blocking → bit_count hamming verify) is
+    value-checked by the DuckDB oracle; the band-blocking completeness
+    proof (any hamming≤3 pair shares a band) is pytest-asserted."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     out = dedup.simhash_near_dups(d.unionByName(dup), max_hamming=3)
@@ -674,9 +713,36 @@ def lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_cosine_topk(emb, k=5, n_bits=16, bands=4, dim=64)
 
 
-@_q("winnow_fingerprints")  # no SQL oracle: rolling-hash winnowing (rows-only)
+@_q("winnow_fingerprints", """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 100),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 5 THEN []
+                  ELSE [md5_number_lower(t[i] || ' ' || t[i+1] || ' ' ||
+                                         t[i+2] || ' ' || t[i+3] || ' ' ||
+                                         t[i+4])
+                        for i in generate_series(1, len(t) - 4)] END AS g
+      FROM toks),
+    prints AS (
+      SELECT doc_id,
+             CASE WHEN len(g) = 0 THEN []
+                  WHEN len(g) < 4 THEN [list_min(g)]
+                  ELSE list_distinct(
+                      [list_min(g[i:i+3])
+                       for i in generate_series(1, len(g) - 3)]) END AS fp
+      FROM grams)
+    SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808
+                     THEN u::HUGEINT - 18446744073709551616 ELSE u END
+                AS BIGINT) AS fingerprint
+    FROM (SELECT doc_id, unnest(fp) AS u FROM prints)""")
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al.) via Arrow UDF."""
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03) via
+    Arrow UDF — k=5-gram rolling hashes (md5_number_lower-compatible),
+    unsigned min per window of 4, distinct; the DuckDB oracle restates the
+    whole computation with list comprehensions."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select(
         "doc_id",

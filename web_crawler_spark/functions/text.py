@@ -101,11 +101,13 @@ def fingerprint_md5_col(text):
 
 @lru_cache(maxsize=1)
 def winnow_fingerprints_udf(k: int = 5, window: int = 4):
-    """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes, min
-    per window, distinct — positional per doc ⇒ Arrow-batched pandas UDF."""
+    """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes
+    (md5-fold, == DuckDB md5_number_lower so the driver oracle can restate
+    the whole pipeline), unsigned min per window, distinct — positional per
+    doc ⇒ Arrow-batched pandas UDF."""
     @pandas_udf("array<bigint>")
     def _winnow(texts: pd.Series) -> pd.Series:
-        import hashlib
+        from ..operators.dedup import md5_lower64
         out = []
         for t in texts:
             toks = (t or "").split()
@@ -113,9 +115,7 @@ def winnow_fingerprints_udf(k: int = 5, window: int = 4):
                 out.append([])
                 continue
             hs = np.fromiter(
-                (int.from_bytes(
-                    hashlib.blake2b(" ".join(toks[i:i + k]).encode(),
-                                    digest_size=8).digest(), "little")
+                (md5_lower64(" ".join(toks[i:i + k]).encode())
                  for i in range(len(toks) - k + 1)),
                 dtype=np.uint64)
             if len(hs) < window:

@@ -286,12 +286,20 @@ def ngram_jaccard_col(a, b, n: int = 3):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def md5_lower64(data: bytes) -> int:
+    """Little-endian uint64 of md5 digest bytes [8:16] — the exact value
+    DuckDB's md5_number_lower computes, so every operator hashing tokens
+    through this helper is SQL-restatable for the driver's value oracle."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
+
+
 def simhash_udf():
     """64-bit SimHash over distinct word tokens (Charikar '02): per token a
-    64-bit blake2b hash; signature bit b is 1 iff the majority of token
-    hashes have bit b set. Arrow-batched, numpy-vectorized bit unpack —
-    the per-row work is O(tokens·64) bit math, a poor fit for expression
-    trees, so this is a deliberate pandas UDF (like minhash)."""
+    64-bit hash (md5-fold, md5_number_lower-compatible — see md5_lower64);
+    signature bit b is 1 iff the majority of token hashes have bit b set.
+    Arrow-batched, numpy-vectorized bit unpack — the per-row work is
+    O(tokens·64) bit math, a poor fit for expression trees, so this is a
+    deliberate pandas UDF (like minhash)."""
     @pandas_udf("bigint")
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
@@ -300,9 +308,7 @@ def simhash_udf():
             if not toks:
                 continue
             hs = np.fromiter(
-                (int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                    "little") for tok in toks),
+                (md5_lower64(tok.encode()) for tok in toks),
                 dtype=np.uint64, count=len(toks))
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
                     np.uint64(1)).astype(np.int32)
