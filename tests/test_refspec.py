@@ -174,3 +174,33 @@ def test_investing_list_and_article():
     assert got2["content"] == "desc one"
     # no cached metadata → None (:225-227)
     assert r.extract_article(art, "investing", list_meta=None) is None
+
+
+def test_generic_config_date_selector():
+    """GenericNewsCrawler config knobs (base_crawler.py:245-258,309-322):
+    article_date_selector with/without article_date_attribute."""
+    r.PARSER_CONFIGS["_custom"] = {
+        "title_selectors": ["h2.head"],
+        "content_single": "div.body",
+        "link_selector": "a",
+        "link_url_predicate": None,
+        "emit_summary": True,
+        "date_from_time": None,
+        "date_selector": "span.published",
+        "date_attribute": "data-date",
+        "frontier_cap": None,
+    }
+    try:
+        html = (b'<h2 class="head">T</h2><div class="body">body text</div>'
+                b'<span class="published" data-date="2024-02-03">Feb 3</span>')
+        art = r.extract_article(html, "_custom")
+        assert art["title"] == "T"
+        assert art["content"] == "body text"
+        assert art["published_date"] == "2024-02-03"
+        assert art["summary"] == "body text"
+        # text mode when no attribute configured
+        del r.PARSER_CONFIGS["_custom"]["date_attribute"]
+        art = r.extract_article(html, "_custom")
+        assert art["published_date"] == "Feb 3"
+    finally:
+        del r.PARSER_CONFIGS["_custom"]

@@ -340,6 +340,16 @@ def extract_article(html, parser_class: str = "rbc",
                                          t.get_text(strip=True) or None)
             else:
                 out["published_date"] = t.get("datetime") or None
+    elif cfg.get("date_selector"):
+        # GenericNewsCrawler's config-driven date extraction
+        # (base_crawler.py:309-322): attribute when article_date_attribute
+        # is configured, element text otherwise
+        el = soup.select_one(cfg["date_selector"])
+        if el is not None:
+            if cfg.get("date_attribute"):
+                out["published_date"] = el.get(cfg["date_attribute"])
+            else:
+                out["published_date"] = el.get_text(strip=True) or None
     return out
 
 
