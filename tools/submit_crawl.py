@@ -8,6 +8,11 @@ Package and run:
         --py-files /tmp/wcs.zip tools/submit_crawl.py \
         --n-docs 20000 --epochs 1 --workdir /tmp/wcs-submit
 
+For large synthesized webs pass --driver-memory (the DEMO materializes the
+fixture web driver-side before createDataFrame; a real deployment reads
+pages from an Iceberg/parquet table and needs no driver headroom —
+measured: 1M docs / 100k articles wants ~24g only for the fixture build).
+
 On a real cluster, swap --master for the cluster manager and point
 --pages/--workdir at Iceberg/DFS paths; everything else is identical.
 """
