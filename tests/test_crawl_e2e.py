@@ -35,7 +35,9 @@ def run_engine(spark, workdir, web, max_epochs=5, **cfg_kw):
 @pytest.fixture(scope="module")
 def engine(spark, tmp_path_factory, web):
     wd = str(tmp_path_factory.mktemp("lake-e2e"))
-    return run_engine(spark, wd, web)
+    # bloom_min_articles=0 forces the bloom seen-filter path so the e2e
+    # byte-identity/seen-set gates exercise it even at fixture scale
+    return run_engine(spark, wd, web, bloom_min_articles=0)
 
 
 def test_byte_identity_and_seen_set(spark, engine, golden):
@@ -122,7 +124,8 @@ def test_date_filter_and_cross_run_dedup(spark, tmp_path, web):
     wd = str(tmp_path / "lake-dates")
     pages = html_synth.pages_df(spark, web)
     seeds = html_synth.seeds_df(spark, web)
-    cfg = CrawlConfig(start_date="2024-01-01", end_date="2024-01-02")
+    cfg = CrawlConfig(start_date="2024-01-01", end_date="2024-01-02",
+                      bloom_min_articles=0)
     eng = CrawlEngine(spark, wd, pages, cfg)
     eng.run(seeds, max_epochs=5)
     golden_windowed = refspec.simulate_crawl(

@@ -92,6 +92,10 @@ class CrawlConfig:
     hot_threshold: int = 50_000
     n_salt: int = 8
     bloom_fpp: float = 0.01
+    #: below this many seen articles the bloom prefilter costs more jobs
+    #: than the plain anti-join it would save — build it only past the
+    #: threshold (0 forces the bloom path, used by tests)
+    bloom_min_articles: int = 500_000
     host_delays: Dict[str, float] = field(default_factory=dict)  # robots map
     #: fault injection for the retry path (S5/T3): {url: n} makes the fetch
     #: return HTTP 429 for that url until `retries >= n` — the sandbox pages
@@ -122,6 +126,7 @@ class CrawlEngine:
         self.sources = LakeTable(os.path.join(workdir, "sources"), SOURCES_DDL)
         self._bloom: Optional[dedup.BloomShards] = None
         self._frontier_rows: Optional[int] = None  # carried across epochs
+        self._articles_rows: Optional[int] = None  # running seen-set size
         if self.cfg.robots_rules:
             from ..operators import robots
             merged = robots.host_delays(self.cfg.robots_rules,
@@ -172,14 +177,20 @@ class CrawlEngine:
     # ----------------------------------------------------------------- epoch
     def _seen_bloom(self) -> Optional[dedup.BloomShards]:
         """(Re)build the bloom from the committed articles table. Incremental
-        merge across epochs: each epoch adds only its new rows."""
+        merge across epochs: each epoch adds only its new rows. Not built
+        until the seen set crosses bloom_min_articles — below that the
+        plain anti-join is cheaper than the bloom's build/probe jobs."""
         art = self.articles.read(self.spark)
         if art is None or self.articles.is_empty():
             return None
         if self._bloom is None:
-            n = art.count()
+            if self._articles_rows is None:
+                self._articles_rows = art.count()      # resume: count once
+            if self._articles_rows < self.cfg.bloom_min_articles:
+                return None
             self._bloom = dedup.BloomShards.sized_for(
-                max(n * 10, 100_000), fpp=self.cfg.bloom_fpp)
+                max(self._articles_rows * 10, 100_000),
+                fpp=self.cfg.bloom_fpp)
             self._bloom.add_df(art.select("url"), "url")
         return self._bloom
 
@@ -229,7 +240,10 @@ class CrawlEngine:
         # 4) hot-host salting (breaks per-host skew for the downstream
         #    stages; the url-keyed fetch join itself is skew-free since url
         #    is unique), then the fetch join against the pages table
-        salts = politeness.hot_host_salts(fresh, cfg.hot_threshold, cfg.n_salt)
+        #    (the per-host count job is skipped outright when the WHOLE
+        #    frontier is under the hot threshold — no host can exceed it)
+        salts = {} if frontier_in <= cfg.hot_threshold else \
+            politeness.hot_host_salts(fresh, cfg.hot_threshold, cfg.n_salt)
         if salts:
             fresh = politeness.salted_repartition(fresh, salts).drop("host_salt")
         to_fetch = fresh.unionByName(lists.select(*fresh.columns))
@@ -357,6 +371,10 @@ class CrawlEngine:
             epoch, replace=True)
         if self._bloom is not None:
             self._bloom.add_df(out_articles.select("url"), "url")
+        if self._articles_rows is not None:
+            self._articles_rows += n_parsed
+        else:
+            self._articles_rows = n_parsed
         self.metrics.append(m, epoch, replace=True)
 
         # Commit order is the crash-safety contract:
