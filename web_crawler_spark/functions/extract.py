@@ -98,6 +98,58 @@ def extract_links_udf():
     return _links.asNondeterministic()
 
 
+EXTRACT_SCHEMA = (
+    "struct<title:string, content:string, summary:string,"
+    " published_date:string,"
+    " links:array<struct<url:string, date_str:string, title:string,"
+    " summary:string>>>")
+
+
+@lru_cache(maxsize=1)
+def extract_any_udf():
+    """(kind, html, base_url, parser_class, list_title, list_summary) →
+    struct(article fields..., links).
+
+    The engine-side combined extractor: one Arrow pass per fetched row,
+    branching on kind ('list' → link extraction, else article parse). This
+    lets the epoch pipeline drop the html column BEFORE its post-fetch
+    checkpoint — at 100 TB the html payload then lives only inside the
+    scan+join stage and is never materialized to block storage. Same
+    refspec calls per row as the standalone UDFs (which remain for the
+    single-purpose driver queries)."""
+    @pandas_udf(EXTRACT_SCHEMA)
+    def _any(kind: pd.Series, html: pd.Series, base_url: pd.Series,
+             parser_class: pd.Series, list_title: pd.Series,
+             list_summary: pd.Series) -> pd.DataFrame:
+        titles, contents, summaries, dates, links_out = [], [], [], [], []
+        for k, h, b, pc, lt, ls in zip(kind, html, base_url, parser_class,
+                                       list_title, list_summary):
+            art, links = None, None
+            if h is not None:
+                if k == "list":
+                    try:
+                        links = refspec.extract_links(h, b or "", pc or "rbc")
+                    except Exception:
+                        links = []
+                else:
+                    meta = ({"title": lt, "summary": ls}
+                            if lt is not None or ls is not None else None)
+                    try:
+                        art = refspec.extract_article(h, pc or "rbc",
+                                                      list_meta=meta)
+                    except Exception:
+                        art = None
+            titles.append(art["title"] if art else None)
+            contents.append(art["content"] if art else None)
+            summaries.append(art.get("summary") if art else None)
+            dates.append(art.get("published_date") if art else None)
+            links_out.append(links)
+        return pd.DataFrame({"title": titles, "content": contents,
+                             "summary": summaries, "published_date": dates,
+                             "links": links_out})
+    return _any.asNondeterministic()
+
+
 def normalize_content_col(col):
     """Sink normalization P8 as a JVM-side expression (byte-identical to
     models/database.py:169-177): \\n\\s*\\n+ → \\n, then trim."""
@@ -136,21 +188,13 @@ def date_in_range_col(pub, start: str | None, end: str | None):
     return pub.isNull() | cond
 
 
-def parse_articles(fetched: DataFrame, start_date: str | None = None,
-                   end_date: str | None = None) -> DataFrame:
-    """Fetched pages (url_canon, html, parser_class, source_id, date_str?) →
-    parsed article rows, date-filtered, content-normalized.
-
-    Plan shape (checked in tests via .explain): single projection with the
-    Arrow eval, then JVM-side filter/normalize — no extra shuffle."""
-    cols = fetched.columns
-    lt = F.col("list_title") if "list_title" in cols \
-        else F.lit(None).cast("string")
-    ls = F.col("list_summary") if "list_summary" in cols \
-        else F.lit(None).cast("string")
-    df = fetched.withColumn(
-        "art", extract_article_udf()(F.col("html"), F.col("parser_class"),
-                                     lt, ls))
+def finish_articles(df: DataFrame, start_date: str | None = None,
+                    end_date: str | None = None) -> DataFrame:
+    """Post-extraction article finishing: drop null-title rows
+    (rbc_ukraine_parser.py:163-165), date coalesce + permissive range
+    filter (P4), sink normalization (P8). Input needs an ``art`` struct
+    column (title, content, summary, published_date) + url_canon/host."""
+    cols = df.columns
     df = df.filter(F.col("art.title").isNotNull())
     pub = (F.coalesce(strip_time_col(F.col("date_str")),
                       strip_time_col(F.col("art.published_date")))
@@ -166,3 +210,21 @@ def parse_articles(fetched: DataFrame, start_date: str | None = None,
         F.col("published_date"),
         *( [F.col("discovered_seq")] if "discovered_seq" in cols else [] ),
     )
+
+
+def parse_articles(fetched: DataFrame, start_date: str | None = None,
+                   end_date: str | None = None) -> DataFrame:
+    """Fetched pages (url_canon, html, parser_class, source_id, date_str?) →
+    parsed article rows, date-filtered, content-normalized.
+
+    Plan shape (checked in tests via .explain): single projection with the
+    Arrow eval, then JVM-side filter/normalize — no extra shuffle."""
+    cols = fetched.columns
+    lt = F.col("list_title") if "list_title" in cols \
+        else F.lit(None).cast("string")
+    ls = F.col("list_summary") if "list_summary" in cols \
+        else F.lit(None).cast("string")
+    df = fetched.withColumn(
+        "art", extract_article_udf()(F.col("html"), F.col("parser_class"),
+                                     lt, ls))
+    return finish_articles(df, start_date, end_date)

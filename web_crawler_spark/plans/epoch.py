@@ -263,18 +263,28 @@ class CrawlEngine:
         fetched = fetched.withColumn("fetch_status", status.otherwise(F.lit("ok")))
         if cfg.fault_429:
             fetched = fetched.drop("__fault_n")
+        # Combined extraction BEFORE the checkpoint, html dropped: one Arrow
+        # pass per fetched row (lists → links, articles → parsed struct; the
+        # UDF sees null html for non-ok rows so 404/429 rows cost nothing).
+        # The html payload therefore never materializes to block storage —
+        # it lives only inside the scan→join→UDF stage, the property the
+        # 100 TB epoch depends on.
+        fetched = fetched.withColumn(
+            "ext", ex.extract_any_udf()(
+                F.col("kind"),
+                F.when(F.col("fetch_status") == "ok", F.col("html")),
+                F.col("url"), F.col("parser_class"),
+                F.col("list_title"), F.col("list_summary"))).drop("html")
         fetched = fetched.localCheckpoint(eager=True)
 
         ok = fetched.filter(F.col("fetch_status") == "ok")
 
-        # 5a) list pages → link extraction (U1) → new frontier article rows
+        # 5a) list pages → extracted links (U1) → new frontier article rows
         links = (ok.filter(F.col("kind") == "list")
                  .select("url", "parser_class", "source_id", "priority",
                          "discovered_seq",
-                         F.posexplode_outer(
-                             ex.extract_links_udf()(
-                                 F.col("html"), F.col("url"),
-                                 F.col("parser_class"))).alias("pos", "link"))
+                         F.posexplode_outer(F.col("ext.links"))
+                         .alias("pos", "link"))
                  .filter(F.col("link").isNotNull()))
         discovered = (links.select(
             F.col("link.url").alias("url"),
@@ -294,10 +304,16 @@ class CrawlEngine:
         # in-page + cross-page dedup of discoveries, order preserved (D1)
         discovered = dedup.first_occurrence(discovered, "url", "discovered_seq")
 
-        # 5b) article pages → parse UDF → date filter → normalized article rows
-        parsed = ex.parse_articles(
+        # 5b) article pages → (already-extracted) date filter → normalized
+        #     article rows
+        parsed = ex.finish_articles(
             ok.filter(F.col("kind") == "article")
-              .withColumnRenamed("url", "url_canon"),
+              .withColumnRenamed("url", "url_canon")
+              .withColumn("art", F.struct(
+                  F.col("ext.title").alias("title"),
+                  F.col("ext.content").alias("content"),
+                  F.col("ext.summary").alias("summary"),
+                  F.col("ext.published_date").alias("published_date"))),
             start_date=cfg.start_date, end_date=cfg.end_date)
         out_articles = parsed.select(
             "source_id", "url", "title", "content", "published_date",
