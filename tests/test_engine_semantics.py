@@ -344,3 +344,45 @@ def test_schedule_invariants_with_retry_bumps(spark):
             if prev is not None:
                 assert sched >= prev - 1e-9           # monotone
             prev = sched
+
+
+def test_host_delay_broadcast_join_path_matches_inline(spark):
+    """Above MAX_INLINE_DELAYS distinct crawl delays, schedule_epoch
+    switches from a CASE chain to a broadcast-joined delay dim — both
+    plans must assign identical sched_ts."""
+    from web_crawler_spark.operators import politeness
+    rows = [(f"https://h{i % 100}/u{i}", f"h{i % 100}", 0, 0.0, i)
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, schema="url string, host string, priority int, "
+                     "next_fetch_ts double, discovered_seq bigint")
+    few = {f"h{i}": 2.0 + i for i in range(3)}            # inline path
+    many = dict(few, **{f"h{i}": 2.0 + i for i in range(3, 100)})  # join path
+    assert len(many) > politeness.MAX_INLINE_DELAYS
+    a = {(r["url"], r["sched_ts"]) for r in
+         politeness.schedule_epoch(df, 1.0, host_delays=many).collect()}
+    # same delays through the inline path by splitting hosts
+    b = set()
+    for i in range(100):
+        sub = df.filter(F.col("host") == f"h{i}")
+        b |= {(r["url"], r["sched_ts"]) for r in
+              politeness.schedule_epoch(
+                  sub, 1.0, host_delays={f"h{i}": 2.0 + i}).collect()}
+    assert a == b
+
+
+def test_engine_deterministic_across_shuffle_partitions(spark, tmp_path, web):
+    """Identical article output under a different shuffle-partition count
+    (complements the pinned local[4]/local[16] whole-engine determinism
+    datapoint in BASELINE.md)."""
+    golden = refspec.simulate_crawl(web["pages"], web["seeds"])
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        eng, seeds = _engine(spark, str(tmp_path / "w"), web)
+        eng.run(seeds, max_epochs=6)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    got = {(r["url"], r["content"]) for r in
+           eng.articles.read(spark).select("url", "content").collect()}
+    assert got == {(a["url"], a["content"]) for a in golden["articles"]}
