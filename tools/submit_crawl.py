@@ -34,22 +34,51 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--pages", default=None,
                     help="existing pages parquet; default: synthesize")
+    ap.add_argument("--hot-frac", type=float, default=0.30,
+                    help="fixture skew: share of URLs on host 0 (0=uniform)")
+    ap.add_argument("--fixture-dir", default=None,
+                    help="shared fixture cache (pages+seeds parquet); "
+                         "reused across runs/parallelism levels so the "
+                         "python fixture build happens once")
     args = ap.parse_args()
     if args.pages:
         ap.error("--pages (external corpus mode) is not wired yet: "
                  "provide a seeds source for your corpus and remove this guard")
 
-    # spark-submit provides the session config (master, memory, py-files)
+    # spark-submit provides the session config (master, memory, py-files);
+    # runtime-settable engine defaults applied here (the static ones —
+    # driver memory etc. — belong on the spark-submit command line)
     spark = SparkSession.builder.appName("wcs-crawl").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(2 * spark.sparkContext.defaultParallelism))
 
     from web_crawler_spark import html_synth
     from web_crawler_spark.plans.epoch import CrawlConfig, CrawlEngine
 
-    web = html_synth.synth_web(n_articles=args.n_docs // 10 or 10,
-                               n_hosts=args.n_hosts, seed=42)
-    pages = html_synth.pages_df(spark, web, n_partitions=16)
-    seeds = html_synth.seeds_df(spark, web)
+    # Stage the fixture web to parquet ONCE and read it back: a
+    # createDataFrame local collection would re-serialize from the driver
+    # on every scan (fixture overhead, not engine time); a real deployment
+    # reads pages from an Iceberg/parquet table exactly like this. With
+    # --fixture-dir the staged fixture is shared across runs (e.g. both
+    # parallelism levels of a scaling comparison).
+    import os
+    fdir = args.fixture_dir or args.workdir
+    pages_path = os.path.join(fdir, "_pages_fixture")
+    seeds_path = os.path.join(fdir, "_seeds_fixture")
+    if not (os.path.exists(pages_path) and os.path.exists(seeds_path)):
+        web = html_synth.synth_web(n_articles=args.n_docs // 10 or 10,
+                                   n_hosts=args.n_hosts, seed=42,
+                                   hot_frac=args.hot_frac)
+        html_synth.pages_df(spark, web, n_partitions=16) \
+            .write.mode("overwrite").parquet(pages_path)
+        html_synth.seeds_df(spark, web) \
+            .write.mode("overwrite").parquet(seeds_path)
+    pages = spark.read.parquet(pages_path)
+    seeds = spark.read.parquet(seeds_path)
 
     eng = CrawlEngine(spark, args.workdir, pages, CrawlConfig())
     t0 = time.time()

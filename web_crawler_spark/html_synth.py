@@ -41,16 +41,19 @@ _WORDS = ("spark shuffle frontier crawl parse fetch host page article title "
           "text index token quality dedup scale cluster executor partition").split()
 
 
-def _zipf_host(rng: random.Random, n_hosts: int) -> int:
-    """One hot host takes ~30% of URLs (FIXTURES.md scale knob)."""
-    if rng.random() < 0.30:
+def _zipf_host(rng: random.Random, n_hosts: int, hot_frac: float = 0.30) -> int:
+    """One hot host takes ~hot_frac of URLs (FIXTURES.md scale knob);
+    hot_frac=0 gives a uniform host distribution."""
+    if hot_frac > 0 and rng.random() < hot_frac:
         return 0
-    return 1 + rng.randrange(n_hosts - 1)
+    return rng.randrange(n_hosts) if hot_frac <= 0 \
+        else 1 + rng.randrange(n_hosts - 1)
 
 
 def synth_web(n_articles: int = 200, n_hosts: int = 8, seed: int = 42,
               days: int = 5, dup_frac: float = 0.15,
-              broken_frac: float = 0.05) -> Dict[str, object]:
+              broken_frac: float = 0.05,
+              hot_frac: float = 0.30) -> Dict[str, object]:
     """Build {url: html_bytes} plus seed list and metadata.
 
     Every host gets one archive page per day listing its article links
@@ -68,7 +71,7 @@ def synth_web(n_articles: int = 200, n_hosts: int = 8, seed: int = 42,
     articles_meta = []
 
     for aid in range(n_articles):
-        h = _zipf_host(rng, n_hosts)
+        h = _zipf_host(rng, n_hosts, hot_frac)
         day = rng.randrange(days)
         date = (EPOCH_TS + _dt.timedelta(days=day)).strftime("%Y/%m/%d")
         url = f"https://{hosts[h]}/news/a{aid}"

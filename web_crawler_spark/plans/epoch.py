@@ -195,6 +195,14 @@ class CrawlEngine:
         return self._bloom
 
     def run_epoch(self, epoch: int) -> Dict[str, int]:
+        import time as _time
+        _timing = os.environ.get("WCS_EPOCH_TIMING") == "1"
+        _marks = [("start", _time.time())]
+
+        def _mark(name: str) -> None:
+            if _timing:
+                _marks.append((name, _time.time()))
+
         cfg = self.cfg
         frontier = self.frontier.read(self.spark)
         # carried from the previous epoch's frontier write (one count saved)
@@ -221,9 +229,18 @@ class CrawlEngine:
             host_delays=cfg.host_delays,
             approx_rows=frontier_in - n_robots_dropped)
         sched = sched.localCheckpoint(eager=True)  # cut lineage per epoch
-        taken_keys = sched.select("url", "discovered_seq")
-        leftover = frontier.join(taken_keys, ["url", "discovered_seq"],
-                                 "left_anti")
+        _mark("sched_ckpt")
+        # leftover = frontier rows the budget did NOT schedule. When nothing
+        # was truncated (the common drained-tail/uniform case) the anti-join
+        # is a full frontier-sized shuffle computing an empty set — one
+        # cheap count on the checkpointed schedule skips it.
+        n_sched_total = sched.count()
+        if n_sched_total == frontier_in - n_robots_dropped:
+            leftover = frontier.limit(0)
+        else:
+            taken_keys = sched.select("url", "discovered_seq")
+            leftover = frontier.join(taken_keys, ["url", "discovered_seq"],
+                                     "left_anti")
 
         # 2) global seen-filter for article rows (bloom + exact anti-join)
         arts = sched.filter(F.col("kind") == "article")
@@ -231,6 +248,7 @@ class CrawlEngine:
         seen_df = None if self.articles.is_empty() \
             else self.articles.read(self.spark)
         n_sched_arts = arts.count()  # cheap: sched is checkpointed
+        _mark("sched_count")
         fresh = dedup.seen_filter(arts, seen_df, self._seen_bloom(), "url")
 
         # 3) in-epoch order-preserving dedup (D1): first discovery wins
@@ -277,6 +295,8 @@ class CrawlEngine:
                 F.col("list_title"), F.col("list_summary"))).drop("html")
         fetched = fetched.localCheckpoint(eager=True)
 
+        _mark("fetch_extract_ckpt")
+
         ok = fetched.filter(F.col("fetch_status") == "ok")
 
         # 5a) list pages → extracted links (U1) → new frontier article rows
@@ -320,7 +340,11 @@ class CrawlEngine:
             F.lit(SCRAPED_TS).alias("scraped_date"),
             F.lit(epoch).alias("epoch"),
             "host", "priority", "discovered_seq")
-        out_articles = out_articles.localCheckpoint(eager=True)
+        # NOT checkpointed: since the extraction UDF runs before the
+        # `fetched` checkpoint, everything here is a cheap JVM projection
+        # over already-materialized data — a second content-sized
+        # localCheckpoint would only add a full write+read per epoch
+        # (measured: one of the fixed I/O costs dominating large epochs).
 
         # 6) requeue failures with backoff (sandbox: 404s are terminal like
         #    the reference's RequestException → skip; 429 faults, if injected
@@ -345,6 +369,7 @@ class CrawlEngine:
             .alias("arts_ok")).first()
         n_attempted_arts = at["arts_total"] or 0     # incl. 404/429 rows
         n_ok_arts = at["arts_ok"] or 0               # actually parsed input
+        _mark("counts")
         per_host_parsed = out_articles.groupBy("host").agg(
             F.count("*").alias("parsed"))
         m = (fetched.groupBy("host").agg(
@@ -379,12 +404,14 @@ class CrawlEngine:
                    .select("epoch", "partition_id", "watermark_ts",
                            "rows_in", "rows_out"))
         self.partition_checkpoints.append(part_ck, epoch, replace=True)
+        _mark("part_ck_write")
 
         self.articles.append(
             out_articles.select("source_id", "url", "title", "content",
                                 "published_date", "scraped_date", "epoch",
                                 "priority", "discovered_seq"),
             epoch, replace=True)
+        _mark("articles_write")
         if self._bloom is not None:
             self._bloom.add_df(out_articles.select("url"), "url")
         if self._articles_rows is not None:
@@ -392,6 +419,7 @@ class CrawlEngine:
         else:
             self._articles_rows = n_parsed
         self.metrics.append(m, epoch, replace=True)
+        _mark("metrics_write")
 
         # Commit order is the crash-safety contract:
         #   stage new frontier (old frontier still committed)
@@ -408,12 +436,14 @@ class CrawlEngine:
             requeued.select(*leftover.columns))
         staged = self.frontier.stage_overwrite(new_frontier, epoch + 1)
         n_front_out = self.spark.read.parquet(staged).count()
+        _mark("frontier_stage")
         self._frontier_rows = n_front_out
         self.checkpoints.append(
             self.spark.createDataFrame(
                 [(epoch, float(epoch), frontier_in, n_front_out, n_parsed)],
                 schema=CHECKPOINT_DDL), epoch)
         self.frontier.commit_staged_overwrite(epoch + 1)
+        _mark("frontier_commit")
 
         # S13 — last_crawled per source (database.py:134-146, applied after
         # each source crawl at crawler_manager.py:134). Runs after the
@@ -430,6 +460,11 @@ class CrawlEngine:
                                F.coalesce("__lc", "last_crawled"))
                    .drop("__lc"))
             self.sources.overwrite(upd, epoch + 1)
+        if _timing:
+            import sys as _sys
+            deltas = {b[0]: round(b[1] - a[1], 2)
+                      for a, b in zip(_marks, _marks[1:])}
+            print(f"# epoch {epoch} timing: {deltas}", file=_sys.stderr)
         return {"frontier_in": frontier_in, "articles_out": n_parsed,
                 "frontier_out": n_front_out}
 
