@@ -20,9 +20,8 @@ Two generators:
 from __future__ import annotations
 
 import datetime as _dt
-import html as _html
 import random
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -309,9 +308,6 @@ def seeds_df(spark: SparkSession, web: Dict[str, object]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_HOSTS_DOCS = 20
-
-_ESCAPED_TEXT = F.translate  # placeholder for readability
-
 
 def _escape(col):
     # mirror html escaping; oracle SQL performs the inverse-by-construction
