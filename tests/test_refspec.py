@@ -204,3 +204,30 @@ def test_generic_config_date_selector():
         assert art["published_date"] == "Feb 3"
     finally:
         del r.PARSER_CONFIGS["_custom"]
+
+
+def _tree_eq(a, b):
+    if isinstance(a, str) or isinstance(b, str):
+        return a == b
+    return (a.tag == b.tag and a.attrs == b.attrs and
+            len(a.children) == len(b.children) and
+            all(_tree_eq(x, y) for x, y in zip(a.children, b.children)))
+
+
+def test_fast_parser_matches_stdlib_on_all_fixture_shapes():
+    """The regex-scanner DOM builder must produce the IDENTICAL tree as the
+    HTMLParser-backed builder for every page shape the fixture web
+    generates (rbc archives/articles, bbc, guardian, investing lists and
+    articles — entities, nested inline tags, duplicate/empty paragraphs,
+    all attribute styles)."""
+    from web_crawler_spark import html_synth
+    web = html_synth.synth_web(n_articles=150, n_hosts=5, seed=13)
+    assert len(web["pages"]) > 150
+    for url, h in web["pages"].items():
+        fast = r.parse_html(h)
+        std = r.parse_html_stdlib(h)
+        assert _tree_eq(fast, std), url
+    # attribute syntax variants + entities in values + void tags + comments
+    tricky = (b'<!DOCTYPE html><!-- c --><div A="x&amp;y" b=\'q\' c=bare d>'
+              b'<br><img src=i.png><p>t&lt;x&gt;</p></div>')
+    assert _tree_eq(r.parse_html(tricky), r.parse_html_stdlib(tricky))
