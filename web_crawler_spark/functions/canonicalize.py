@@ -42,12 +42,14 @@ _SIMPLE_RE = re.compile(
 _FALLBACK = object()
 
 
+@lru_cache(maxsize=65536)
 def _sort_query(q) -> object:
     """Sorted-query rejoin for fast-path rows; returns _FALLBACK to force
     the urllib fallback when the segment shape could re-encode differently
     (parse_qsl+urlencode semantics: one '=' per pair, non-empty key,
     empties dropped). Tuple sort, NOT string sort — 'a-=x' vs 'a=y' order
-    differs between the two."""
+    differs between the two. Pure + cached: query-string patterns repeat
+    heavily across a crawl (tracking params, pagination)."""
     if q is None or (isinstance(q, float) and q != q) or q == "":
         return ""
     kv = []
