@@ -9,8 +9,11 @@
   for vectors, Charikar STOC'02). A seeded hyperplane matrix is closure-
   broadcast; signatures computed in one vectorized numpy pass; candidates
   restricted to same-bucket pairs (multi-probe over b bands), exact rerank
-  inside buckets only. At 10^9 vectors the bucket groupBy is the only wide
-  exchange and carries 8-byte signatures, not the vectors.
+  inside buckets only. The band self-join exchanges ONLY (id, band, bucket)
+  — 8-byte signatures, never the vectors (plan-asserted in
+  tests/test_plans.py::test_lsh_band_join_never_shuffles_vectors); vectors
+  are fetched afterwards for the distinct candidate id pairs alone, the
+  same semi-restricted pattern as dedup.minhash_lsh_pairs.
 """
 
 from __future__ import annotations
@@ -151,27 +154,35 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 5, n_bits: int = 16,
     rank≤k) for vectors that had any same-bucket candidate."""
     bits_per_band = n_bits // bands
     sigged = embeddings.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col),
         _hyperplane_sig_udf(dim, n_bits, seed)(F.col(vec_col)).alias("__sig"))
+    # Band explode carries (id, band, bucket) ONLY — at 10^9 × 64-float
+    # vectors the bands× replication and the bucket self-join exchange
+    # 12 bytes/row, not ~2 KB payloads. Vectors rejoin below, restricted to
+    # the distinct candidate id pairs (mirrors dedup.minhash_lsh_pairs).
     banded = sigged.select(
-        id_col, vec_col,
+        id_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.shiftright(F.col("__sig"), b * bits_per_band)
                      .bitwiseAND(F.lit((1 << bits_per_band) - 1))
                      .alias("bucket"))
             for b in range(bands)])).alias("bb"))
-    banded = banded.select(id_col, vec_col, "bb.band", "bb.bucket")
+    banded = banded.select(id_col, "bb.band", "bb.bucket")
     l = banded.alias("l")
     r = banded.alias("r")
     cand = (l.join(r, (F.col("l.band") == F.col("r.band")) &
                       (F.col("l.bucket") == F.col("r.bucket")) &
                       (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
             .select(F.col(f"l.{id_col}").alias("vec_id_q"),
-                    F.col(f"r.{id_col}").alias("neighbor_id"),
-                    F.col(f"l.{vec_col}").alias("va"),
-                    F.col(f"r.{vec_col}").alias("vb"))
-            .dropDuplicates(["vec_id_q", "neighbor_id"]))
+                    F.col(f"r.{id_col}").alias("neighbor_id"))
+            .distinct())
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    cand = (cand
+            .join(vecs.select(F.col(id_col).alias("vec_id_q"),
+                              F.col(vec_col).alias("va")), "vec_id_q")
+            .join(vecs.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("vb")), "neighbor_id"))
     scored = with_cosine(cand, "va", "vb", "cosine")
     w = Window.partitionBy("vec_id_q").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
