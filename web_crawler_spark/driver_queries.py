@@ -658,53 +658,78 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
-@_q("ivf_cosine_topk", """
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    assign AS (
-      SELECT vec_id, v, cid,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid)
-                 AS rn
-      FROM (SELECT e.vec_id, e.v, c.cid,
-                   list_dot_product(e.v, c.cv) /
-                   (sqrt(list_dot_product(e.v, e.v)) *
-                    sqrt(list_dot_product(c.cv, c.cv))) AS cos
-            FROM corpus e CROSS JOIN cent c)),
-    ivf AS (SELECT vec_id, v, cid AS cluster FROM assign WHERE rn = 1),
-    q AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
-            SELECT vec_id, v, cid AS cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY cos DESC, cid) AS rn
-            FROM (SELECT e.vec_id, e.v, c.cid,
-                         list_dot_product(e.v, c.cv) /
-                         (sqrt(list_dot_product(e.v, e.v)) *
-                          sqrt(list_dot_product(c.cv, c.cv))) AS cos
-                  FROM corpus e CROSS JOIN cent c
-                  WHERE e.vec_id < 5))
-          WHERE rn <= 4)
+def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4,
+                    n_iters: int = 2) -> str:
+    """DuckDB restatement of similarity.ivf_cosine_topk INCLUDING the
+    seeded k-means quantizer — the fixed Lloyd iterations are unrolled as
+    CTE pairs (cosine-argmax assignment, per-dimension decimal-summed
+    mean with COALESCE for empty clusters), value-identical to the Spark
+    side because both compute means as CAST(decimal-sum AS DOUBLE)/count."""
+
+    def cos(a, b):
+        return (f"list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b})))")
+
+    ctes = [
+        "corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cent0 AS (SELECT vec_id AS cid, v AS cv FROM corpus
+      WHERE vec_id IN (SELECT vec_id FROM embeddings
+                       ORDER BY vec_id LIMIT {n_clusters}))""",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""assign{i} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos('e.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM corpus e CROSS JOIN cent{i - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""mean{i} AS (
+      SELECT cid, array_agg(m ORDER BY pos) AS cv
+      FROM (SELECT cid, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM (SELECT cid, unnest(v) AS val,
+                         generate_subscripts(v, 1) AS pos FROM assign{i})
+            GROUP BY cid, pos)
+      GROUP BY cid)""")
+        ctes.append(f"""cent{i} AS (
+      SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+      FROM cent{i - 1} c LEFT JOIN mean{i} m USING (cid))""")
+    cent = f"cent{n_iters}"
+    ctes.append(f"""ivf AS (SELECT vec_id, v, cid AS cluster FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos('e.v', 'c.cv')} DESC, c.cid) AS rn
+      FROM corpus e CROSS JOIN {cent} c) WHERE rn = 1)""")
+    ctes.append(f"""q AS (SELECT vec_id AS query_id, v AS qv, cluster FROM (
+      SELECT e.vec_id, e.v, c.cid AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos('e.v', 'c.cv')} DESC, c.cid) AS rn
+      FROM corpus e CROSS JOIN {cent} c WHERE e.vec_id < 5)
+      WHERE rn <= {n_probe})""")
+    return f"""
+    WITH {','.join(ctes)}
     SELECT query_id, vec_id, CAST(round(cosine, 4) AS DOUBLE) AS cosine, rank
-    FROM (SELECT q.query_id, i.vec_id,
-                 list_dot_product(i.v, q.qv) /
-                 (sqrt(list_dot_product(i.v, i.v)) *
-                  sqrt(list_dot_product(q.qv, q.qv))) AS cosine,
+    FROM (SELECT q.query_id, i.vec_id, {cos('i.v', 'q.qv')} AS cosine,
                  row_number() OVER (PARTITION BY q.query_id
-                     ORDER BY list_dot_product(i.v, q.qv) /
-                              (sqrt(list_dot_product(i.v, i.v)) *
-                               sqrt(list_dot_product(q.qv, q.qv))) DESC,
-                     i.vec_id ASC) AS rank
+                     ORDER BY {cos('i.v', 'q.qv')} DESC, i.vec_id ASC)
+                     AS rank
           FROM q JOIN ivf i ON q.cluster = i.cluster
           WHERE i.vec_id <> q.query_id)
-    WHERE rank <= 5""")
+    WHERE rank <= 5"""
+
+
+@_q("ivf_cosine_topk", _ivf_oracle_sql())
 def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the bucketed scale path with a full value oracle):
-    coarse-quantize → probe 4 of 16 inverted lists → exact in-list rerank."""
+    seeded-k-means quantize (2 Lloyd iterations) → probe 4 of 16 inverted
+    lists → exact in-list rerank."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.ivf_cosine_topk(emb, queries, k=5, n_clusters=16,
-                                      n_probe=4)
+                                      n_probe=4, n_iters=2)
 
 
 _PLANES_PARQUET = _os.path.join(

@@ -80,10 +80,28 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 def _assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str,
                      key_col: str, n_keep: int, out: str) -> DataFrame:
     """Nearest-centroid assignment (n_keep=1) / probe-list expansion
-    (n_keep=n_probe) via a broadcast cross join + per-key window — all
-    JVM expressions, deterministic tie-break (cosine desc, cid asc)."""
+    (n_keep=n_probe) via a broadcast cross join — all JVM expressions,
+    deterministic tie-break (cosine desc, cid asc).
+
+    n_keep=1 compiles to a max_by aggregation: the argmax is reduced
+    map-side (partial agg) so the exchange carries one row per key, not
+    the n_clusters× replicated cross join a per-key window would shuffle —
+    the shape that matters when assigning 10^9 corpus vectors. n_keep>1 is
+    the probe expansion for the (small, broadcastable) query side, where
+    the window is fine."""
     x = with_cosine(df.crossJoin(broadcast(centroids)), vec_col, "__cv",
                     "__ccos")
+    if n_keep == 1:
+        # max of struct(cos, -cid) == (max cos, then min cid) — the same
+        # tie-break as the window path and the DuckDB oracle's row_number
+        others = [c for c in df.columns if c != key_col]
+        return (x.groupBy(key_col)
+                .agg(*[F.first(c).alias(c) for c in others],
+                     F.max_by("__cid", F.struct(F.col("__ccos"),
+                                                (-F.col("__cid"))
+                                                .alias("__negcid")))
+                     .alias(out))
+                .select(*df.columns, out))
     w = Window.partitionBy(key_col).orderBy(F.col("__ccos").desc(),
                                             F.col("__cid").asc())
     return (x.withColumn("__crn", F.row_number().over(w))
@@ -91,26 +109,77 @@ def _assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str,
             .select(*df.columns, F.col("__cid").alias(out)))
 
 
+def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,
+                     n_iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed Lloyd k-means (fixed iteration count,
+    first-n init): assignment is a broadcast cross-join with codegen cosine
+    argmax, the per-dimension mean is posexplode → groupBy(cluster, pos) —
+    standard two-pass-per-iteration distributed k-means that works
+    unchanged at 10^9 vectors (the only driver-side materialization is the
+    n_clusters×dim centroid table itself, a bounded broadcast build like
+    the bloom shards). Means are decimal-summed then divided in double, so
+    centroid values are identical regardless of partition order — which is
+    what lets the DuckDB oracle restate the whole quantizer value-for-value
+    (and the engine stay bit-identical across parallelism levels).
+
+    Cluster ids are the seed vector ids (stable across iterations); a
+    cluster that goes empty keeps its previous centroid. Returns a tiny
+    DataFrame (__cid bigint, __cv array<double>) built from collected
+    literals — downstream assignment plans broadcast it without dragging
+    the Lloyd lineage along."""
+    spark = embeddings.sparkSession
+    init = (embeddings.orderBy(id_col).limit(n_clusters)
+            .select(F.col(id_col).cast("bigint").alias("__cid"),
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")).alias("__cv")))
+    # one bounded collect per Lloyd pass (the n_clusters×dim table only);
+    # after the init collect, `prev` is already a local literal list
+    prev = {r["__cid"]: list(r["__cv"]) for r in init.collect()}
+    corpus = embeddings.select(id_col, vec_col)
+    for _ in range(n_iters):
+        dim = len(next(iter(prev.values())))
+        cent = spark.createDataFrame(
+            sorted(prev.items()), schema="__cid bigint, __cv array<double>")
+        assigned = _assign_clusters(corpus, cent, vec_col, id_col, 1, "__k")
+        # per-dimension decimal sums as dim flat aggregates (one partial-
+        # aggregated exchange of n_clusters rows — no explode, no window)
+        sums = (assigned
+                .groupBy("__k")
+                .agg(F.count("*").alias("__n"),
+                     *[F.sum(F.element_at(F.col(vec_col), d + 1)
+                             .cast("double").cast("decimal(30,15)"))
+                       .alias(f"__s{d}") for d in range(dim)]))
+        new = {r["__k"]: [float(r[f"__s{d}"]) / r["__n"]
+                          for d in range(dim)]
+               for r in sums.collect()}
+        prev = {cid: new.get(cid, cv) for cid, cv in prev.items()}
+    return spark.createDataFrame(
+        sorted(prev.items()), schema="__cid bigint, __cv array<double>")
+
+
 def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     n_clusters: int = 16, n_probe: int = 4,
+                    n_iters: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id") -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into n_clusters inverted
     lists, probe only the n_probe nearest lists per query, exact cosine
     rerank inside the probed lists.
 
-    Centroids here are the deterministic first n_clusters corpus vectors —
-    the quantizer is pluggable (swap in k-means means at scale); the IVF
-    *plumbing* is what this operator owns: assignment is a broadcast
-    cross-join (codegen dot products), the index is the `cluster` column
-    (at 10^9 vectors: write the corpus bucketed by cluster so a probe scans
-    only n_probe/n_clusters of the data — same shape as the bucketed fetch
-    join), and the only wide exchange is the candidate join keyed on
-    cluster. Every expression is DuckDB-restatable, so unlike hyperplane
-    LSH this ANN path is value-checked by the driver's oracle."""
-    centroids = (embeddings.orderBy(id_col).limit(n_clusters)
-                 .select(F.col(id_col).alias("__cid"),
-                         F.col(vec_col).alias("__cv")))
+    The quantizer is a seeded k-means (:func:`kmeans_centroids` — fixed
+    Lloyd iterations, first-n init; n_iters=0 degrades to the raw first-n
+    quantizer). The IVF *plumbing* is what this operator owns: assignment
+    is a broadcast cross-join (codegen dot products), the index is the
+    `cluster` column (at 10^9 vectors: write the corpus bucketed by
+    cluster so a probe scans only n_probe/n_clusters of the data — same
+    shape as the bucketed fetch join), and the only wide exchange is the
+    candidate join keyed on cluster. Every expression — including the
+    unrolled Lloyd iterations — is DuckDB-restatable, so this ANN path is
+    value-checked end-to-end by the driver's oracle; recall vs the exact
+    brute force is gated by tests/test_training_ops.py."""
+    centroids = kmeans_centroids(embeddings, n_clusters, n_iters,
+                                 id_col, vec_col)
     corpus = _assign_clusters(embeddings.select(id_col, vec_col), centroids,
                               vec_col, id_col, 1, "cluster")
     qs = _assign_clusters(
