@@ -241,3 +241,93 @@ def test_ivf_kmeans_recall_on_clustered_data(spark):
     corpus_vecs = {tuple(r.embedding) for r in corpus.collect()}
     cent_vecs = [tuple(r["__cv"]) for r in cents.collect()]
     assert all(v not in corpus_vecs for v in cent_vecs)
+
+
+def test_bpe_learning_matches_classic_example():
+    """Sennrich et al.'s worked example: with freqs {low:5, lower:2,
+    newest:6, widest:3} the greedy merges start (e,s) → (es,t) — then the
+    7-weight 'low' pairs, lexicographic tie-break picking (l,o) over
+    (o,w). Hand-derived, independent of the implementation."""
+    from web_crawler_spark.functions.bpe import learn_merges
+    merges = learn_merges({"low": 5, "lower": 2, "newest": 6, "widest": 3},
+                          n_merges=4)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+
+def _bpe_apply_reference(word, merges):
+    """Independent BPE inference: apply merges sequentially in learned
+    order (equivalent to lowest-rank-first, the standard identity) —
+    written as a plain scan-and-replace so it shares no code with
+    BpeTokenizer's ranked loop."""
+    sym = list(word)
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return tuple(sym)
+
+
+def test_bpe_apply_matches_independent_reference():
+    """Every fixture-vocabulary word (plus OOV shapes) tokenizes
+    identically under the ranked-merge loop and the sequential-application
+    reference, and tokens concatenate back to the word."""
+    from web_crawler_spark.functions.bpe import load_tokenizer
+    tok = load_tokenizer()
+    words = ["table", "customer", "the", "spark", "batch", "row",
+             "antidisestablishment", "zzz", "a", ""]
+    import duckdb
+    vocab = [r[0] for r in duckdb.connect().execute(
+        "SELECT DISTINCT unnest(regexp_split_to_array(trim(text),'\\s+'))"
+        " FROM '/root/testdata/sf0.001/documents.parquet'").fetchall()]
+    for w in sorted(set(words + vocab)):
+        got = tok.encode(w)
+        assert got == _bpe_apply_reference(w, tok.merges), w
+        assert "".join(got) == w
+
+
+def test_bpe_committed_tables_are_reproducible():
+    """The committed merge table re-learns byte-identically from the
+    fixture frequencies, and the oracle lookup parquet matches counts
+    derived from the committed merges — guards doc-rot of both data
+    files."""
+    import duckdb
+    import json
+    from web_crawler_spark.functions import bpe
+    con = duckdb.connect()
+    freqs = dict(con.execute("""
+        SELECT w, count(*) FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM '/root/testdata/sf0.001/documents.parquet')
+        WHERE w <> '' GROUP BY w""").fetchall())
+    relearned = bpe.learn_merges(freqs, 64)
+    committed = [tuple(m) for m in
+                 json.load(open(bpe.MERGES_JSON))["merges"]]
+    assert relearned == committed
+    tok = bpe.BpeTokenizer(committed)
+    lookup = dict(con.execute(
+        f"SELECT word, n_tokens FROM '{bpe.WORD_TOKENS_PARQUET}'")
+        .fetchall())
+    assert lookup, "empty lookup table"
+    assert all(len(tok.encode(w)) == n for w, n in lookup.items())
+
+
+def test_bpe_udf_counts_match_local(spark):
+    """The Arrow UDF's distributed counts equal local pure-python counts
+    on the fixture documents."""
+    from web_crawler_spark.functions import bpe
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    got = {r.doc_id: r.n for r in docs.select(
+        "doc_id", bpe.bpe_token_count_udf()(F.col("text")).alias("n"))
+        .collect()}
+    tok = bpe.load_tokenizer()
+    want = {r.doc_id: tok.count_text(r.text) for r in docs.collect()}
+    assert got == want
+    # non-degenerate: some doc has more subwords than whitespace tokens
+    assert any(got[r.doc_id] > len(r.text.split()) for r in docs.collect())

@@ -21,6 +21,7 @@ from pyspark.sql.functions import broadcast
 
 from . import html_synth
 from .util import scratch_dir
+from .functions import bpe
 from .functions import canonicalize as canon
 from .functions import extract as ex
 from .functions import text as T
@@ -559,18 +560,24 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_docs")))
 
 
-@_q("bpe_token_stats", """
-    SELECT doc_id,
-           len(list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
-               x -> len(x) > 0)) AS n_subword
-    FROM documents""")
+@_q("bpe_token_stats", f"""
+    SELECT d.doc_id, CAST(SUM(l.n_tokens) AS BIGINT) AS n_subword
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents) d
+    JOIN read_parquet('{bpe.WORD_TOKENS_PARQUET}') l ON l.word = d.w
+    GROUP BY d.doc_id""")
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish sub-word token counting (split on non-alphanumeric runs) —
-    the tokenizer-proxy knob of the token-counting family."""
+    """Real byte-pair-encoding token counting: the Spark side runs the
+    actual merge loop (functions/bpe.py, Arrow UDF over the committed
+    seeded merge table); the DuckDB oracle restates per-document counts as
+    a word → n_tokens lookup join generated from the same table by an
+    independent pure-python application (tools/gen_bpe_vocab.py), so the
+    distributed application is value-checked and the algorithm itself is
+    golden-tested in tests/test_training_ops.py."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
-        T.bpe_ish_token_count_col(F.col("text")).alias("n_subword"))
+        bpe.bpe_token_count_udf()(F.col("text")).alias("n_subword"))
 
 
 @_q("quality_scores", """

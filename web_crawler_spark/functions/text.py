@@ -38,14 +38,6 @@ def token_count_col(text):
     return F.size(tokens_col(text))
 
 
-def bpe_ish_token_count_col(text):
-    """BPE-ish proxy: count of sub-word units = words + intra-word splits on
-    non-alpha boundaries (a cheap deterministic stand-in for a tokenizer)."""
-    return F.size(F.filter(
-        F.split(F.lower(F.trim(text)), r"[^a-z0-9]+"),
-        lambda t: F.length(t) > 0))
-
-
 def quality_cols(text):
     """Length / punctuation / stopword / mean-word-length features
     (the classic Gopher/C4-style quality heuristics, built-in exprs)."""
