@@ -171,3 +171,23 @@ def test_hot_host_salting_preserves_results(spark, tmp_path, web, golden):
            eng.articles.read(spark).select("url", "content").collect()}
     want = {(a["url"], a["content"]) for a in golden["articles"]}
     assert got == want
+
+
+def test_bloom_rebuilds_when_seen_set_outgrows_capacity(spark, tmp_path, web):
+    """Round-2 advice: a long crawl can outgrow the 10x headroom the bloom
+    was sized for, silently degrading FPP. The engine must re-size: after
+    the seen set exceeds the sized capacity, the next _seen_bloom() call
+    rebuilds a larger filter (and crawl results stay correct — the exact
+    anti-join backstop is separately e2e-gated)."""
+    wd = str(tmp_path / "lake-bloomgrow")
+    eng = run_engine(spark, wd, web, max_epochs=2, bloom_min_articles=0)
+    assert eng._bloom is not None
+    cap0 = eng._bloom_capacity
+    bloom0 = eng._bloom
+    # simulate the seen set outgrowing the filter (long-crawl state)
+    eng._articles_rows = cap0 + 1
+    b = eng._seen_bloom()
+    assert b is not None and b is not bloom0
+    assert eng._bloom_capacity >= (cap0 + 1) * 10
+    # and a steady-state call does NOT rebuild again
+    assert eng._seen_bloom() is b

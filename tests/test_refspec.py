@@ -231,3 +231,22 @@ def test_fast_parser_matches_stdlib_on_all_fixture_shapes():
     tricky = (b'<!DOCTYPE html><!-- c --><div A="x&amp;y" b=\'q\' c=bare d>'
               b'<br><img src=i.png><p>t&lt;x&gt;</p></div>')
     assert _tree_eq(r.parse_html(tricky), r.parse_html_stdlib(tricky))
+    # XHTML-style self-closing non-void tags: the element must NOT capture
+    # following siblings (round-2 advice), and every startendtag-detection
+    # edge HTMLParser distinguishes must match — including the unquoted
+    # -value-eats-the-slash cases where the tag legitimately stays open
+    self_closing = [
+        b"<div><span/><p>sib</p></div>",
+        b"<div><span /><p>sib</p></div>",
+        b'<div><span foo="x"/><p>sib</p></div>',
+        b"<div><span foo='x'/><p>sib</p></div>",
+        b"<div><span foo=bar/><p>in</p></div>",    # value 'bar/' — stays open
+        b"<div><span foo=bar /><p>sib</p></div>",
+        b"<div><span foo/><p>sib</p></div>",
+        b"<div><span foo=/><p>in</p></div>",       # value '/' — stays open
+        b'<div><span a="1" b/><p>sib</p></div>',
+        b'<div><span a=b c="d"/><p>sib</p></div>',
+        b"<div><em/>x<span/>y</div><p>tail</p>",
+    ]
+    for h in self_closing:
+        assert _tree_eq(r.parse_html(h), r.parse_html_stdlib(h)), h

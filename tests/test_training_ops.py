@@ -331,3 +331,18 @@ def test_bpe_udf_counts_match_local(spark):
     assert got == want
     # non-degenerate: some doc has more subwords than whitespace tokens
     assert any(got[r.doc_id] > len(r.text.split()) for r in docs.collect())
+
+
+def test_stream_windowed_counts_keeps_null_and_sentinel_like_keys(spark):
+    """Round-2 advice: the flush sentinel is a marker column, not a magic
+    key value — so a NULL key group survives (matching the batch GROUP BY
+    oracle) and a real key literally named '__sentinel__' is not dropped."""
+    import datetime as dt
+    from web_crawler_spark.streaming import sessions
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [("a", base), (None, base), (None, base),
+            ("__sentinel__", base + dt.timedelta(hours=1))]
+    ev = spark.createDataFrame(rows, schema="event_type string, ts timestamp")
+    out = sessions.stream_windowed_counts(spark, ev, window="1 hour")
+    got = {(r.event_type, r.n_events) for r in out.collect()}
+    assert got == {("a", 1), (None, 2), ("__sentinel__", 1)}

@@ -67,8 +67,12 @@ def main() -> None:
     # parallelism levels of a scaling comparison).
     import os
     fdir = args.fixture_dir or args.workdir
-    pages_path = os.path.join(fdir, "_pages_fixture")
-    seeds_path = os.path.join(fdir, "_seeds_fixture")
+    # the fixture parameters are encoded in the staged path, so re-running
+    # with different --n-docs/--n-hosts/--hot-frac can never silently reuse
+    # a stale fixture built for other parameters (round-2 advice)
+    tag = f"n{args.n_docs}_h{args.n_hosts}_hot{args.hot_frac:.2f}"
+    pages_path = os.path.join(fdir, f"_pages_fixture_{tag}")
+    seeds_path = os.path.join(fdir, f"_seeds_fixture_{tag}")
     if not (os.path.exists(pages_path) and os.path.exists(seeds_path)):
         web = html_synth.synth_web(n_articles=args.n_docs // 10 or 10,
                                    n_hosts=args.n_hosts, seed=42,

@@ -125,6 +125,7 @@ class CrawlEngine:
             os.path.join(workdir, "partition_checkpoints"), PARTITION_CK_DDL)
         self.sources = LakeTable(os.path.join(workdir, "sources"), SOURCES_DDL)
         self._bloom: Optional[dedup.BloomShards] = None
+        self._bloom_capacity = 0                   # rows the bloom was sized for
         self._frontier_rows: Optional[int] = None  # carried across epochs
         self._articles_rows: Optional[int] = None  # running seen-set size
         if self.cfg.robots_rules:
@@ -183,14 +184,20 @@ class CrawlEngine:
         art = self.articles.read(self.spark)
         if art is None or self.articles.is_empty():
             return None
+        if self._articles_rows is None:
+            self._articles_rows = art.count()          # resume: count once
+        # a long crawl can outgrow the 10x headroom the bloom was sized
+        # for, silently degrading FPP until most scheduled URLs take the
+        # exact anti-join suspect path — rebuild at the new size instead
+        if (self._bloom is not None
+                and self._articles_rows > self._bloom_capacity):
+            self._bloom = None
         if self._bloom is None:
-            if self._articles_rows is None:
-                self._articles_rows = art.count()      # resume: count once
             if self._articles_rows < self.cfg.bloom_min_articles:
                 return None
+            self._bloom_capacity = max(self._articles_rows * 10, 100_000)
             self._bloom = dedup.BloomShards.sized_for(
-                max(self._articles_rows * 10, 100_000),
-                fpp=self.cfg.bloom_fpp)
+                self._bloom_capacity, fpp=self.cfg.bloom_fpp)
             self._bloom.add_df(art.select("url"), "url")
         return self._bloom
 

@@ -231,9 +231,21 @@ def _parse_html_fast(s: str) -> Element:
                     am.group(4) if am.group(4) is not None else am.group(2)
                 attrs[am.group(1).lower()] = \
                     _htmlmod.unescape(v) if v else ""
+        # XHTML-style self-closing (<span/>): mirror HTMLParser's
+        # startendtag detection exactly — the trailing '/' closes the tag
+        # UNLESS it was consumed by an unquoted attribute value
+        # (`foo=bar/` → value "bar/", tag stays open; `foo="x"/`, `foo/`,
+        # bare ` /` → self-closing). Default handle_startendtag calls
+        # start+end, so the element is never pushed.
+        self_close = False
+        if raw_attrs and raw_attrs.endswith("/"):
+            last = raw_attrs.split()[-1]
+            eq = last.find("=")
+            if last == "/" or eq < 0 or last[eq + 1:eq + 2] in ('"', "'"):
+                self_close = True
         el = Element(name, attrs, parent=stack[-1])
         stack[-1].children.append(el)
-        if name not in VOID_TAGS:
+        if name not in VOID_TAGS and not self_close:
             stack.append(el)
     if pos < len(s):
         stack[-1].children.append(_htmlmod.unescape(s[pos:]))

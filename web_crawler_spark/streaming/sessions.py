@@ -107,8 +107,12 @@ def stream_windowed_counts(spark: SparkSession, events: DataFrame,
     workdir = scratch_dir("wcs-wstream-")
     src = os.path.join(workdir, "src")
     ck = os.path.join(workdir, "ck")
+    # the sentinel is marked by a dedicated boolean column, not a magic key
+    # value — so NULL keys survive the final filter (null != x filters the
+    # row) and a real key literally equal to '__sentinel__' can't be dropped
     ev = events.select(F.col(key_col).alias("__k"),
-                       F.col("ts").cast("timestamp").alias("ts"))
+                       F.col("ts").cast("timestamp").alias("ts"),
+                       F.lit(False).alias("__sent"))
     mm = ev.agg(F.max("ts").alias("mx"), F.min("ts").alias("mn")).first()
     max_ts, min_ts = mm["mx"], mm["mn"]
     if max_ts is None:
@@ -120,15 +124,16 @@ def stream_windowed_counts(spark: SparkSession, events: DataFrame,
     delay = f"{span_s} seconds"
     sentinel_ts = max_ts + _dt.timedelta(seconds=span_s) + \
         _dt.timedelta(days=2)
-    spark.createDataFrame([("__sentinel__", sentinel_ts)],
-                          schema="__k string, ts timestamp") \
+    spark.createDataFrame([("__sentinel__", sentinel_ts, True)],
+                          schema="__k string, ts timestamp, __sent boolean") \
         .write.mode("append").parquet(src)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", files_per_trigger)
               .parquet(src)
               .withWatermark("ts", delay)
-              .groupBy(F.window("ts", window), F.col("__k"))
+              .groupBy(F.window("ts", window), F.col("__k"),
+                       F.col("__sent"))
               .agg(F.count("*").alias("n_events")))
     qname = "wcounts_" + uuid.uuid4().hex[:8]
     q = (stream.writeStream.format("memory").queryName(qname)
@@ -138,7 +143,7 @@ def stream_windowed_counts(spark: SparkSession, events: DataFrame,
     finally:
         q.stop()
     return (spark.table(qname)
-            .filter(F.col("__k") != "__sentinel__")
+            .filter(~F.col("__sent"))
             .select(F.col("window.start").alias("window_start"),
                     F.col("__k").alias(key_col),
                     F.col("n_events").cast("bigint").alias("n_events")))
