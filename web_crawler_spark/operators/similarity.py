@@ -113,9 +113,10 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,
                      n_iters: int = 2, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Deterministic distributed Lloyd k-means (fixed iteration count,
-    first-n init): assignment is a broadcast cross-join with codegen cosine
-    argmax, the per-dimension mean is posexplode → groupBy(cluster, pos) —
-    standard two-pass-per-iteration distributed k-means that works
+    first-n init): assignment is a broadcast cross-join reduced by a
+    map-side max_by argmax, the per-dimension means are dim flat decimal
+    aggregates in the same job (one exchange of n_clusters rows/partition)
+    — standard one-job-per-iteration distributed k-means that works
     unchanged at 10^9 vectors (the only driver-side materialization is the
     n_clusters×dim centroid table itself, a bounded broadcast build like
     the bloom shards). Means are decimal-summed then divided in double, so

@@ -460,8 +460,13 @@ class CrawlEngine:
         # against the ADVANCED frontier and destroy epoch N's articles.)
         new_frontier = leftover.unionByName(discovered).unionByName(
             requeued.select(*leftover.columns))
-        staged = self.frontier.stage_overwrite(new_frontier, epoch + 1)
-        n_front_out = self.spark.read.parquet(staged).count()
+        # frontier row count rides the staging write (no re-read of the
+        # staged parquet just to count it)
+        obs_front = Observation()
+        new_frontier = new_frontier.observe(obs_front,
+                                            F.count(F.lit(1)).alias("n"))
+        self.frontier.stage_overwrite(new_frontier, epoch + 1)
+        n_front_out = obs_front.get["n"]
         _mark("frontier_stage")
         self._frontier_rows = n_front_out
         self.checkpoints.append(
