@@ -727,7 +727,31 @@ def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4,
     WHERE rank <= 5"""
 
 
-@_q("ivf_cosine_topk", _ivf_oracle_sql())
+def _kmeans_assign_oracle_sql(n_clusters: int = 16, n_iters: int = 2) -> str:
+    """DuckDB restatement of kmeans_centroids + final assignment (the
+    CTE prefix of the IVF oracle, surfaced as its own query)."""
+    full = _ivf_oracle_sql(n_clusters=n_clusters, n_iters=n_iters)
+    prefix = full.split("ivf AS (")[0].rstrip().rstrip(",")
+    return f"""{prefix},
+    final AS (SELECT vec_id, cid FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.cv) /
+                          (sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid)
+                 AS rn
+      FROM corpus e CROSS JOIN cent{n_iters} c) WHERE rn = 1)
+    SELECT vec_id, cid AS cluster FROM final"""
+
+
+@_q("embedding_clusters", _kmeans_assign_oracle_sql())
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering for data curation (diversity sampling, per-cluster
+    quota dedup — the training-pipeline use of the same seeded k-means that
+    quantizes the IVF index): every vector labeled with its final-centroid
+    cluster. Fully value-checked — the oracle unrolls the Lloyd passes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, n_clusters=16, n_iters=2)
 def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the bucketed scale path with a full value oracle):
     seeded-k-means quantize (2 Lloyd iterations) → probe 4 of 16 inverted

@@ -159,6 +159,18 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,
         sorted(prev.items()), schema="__cid bigint, __cv array<double>")
 
 
+def kmeans_assign(embeddings: DataFrame, n_clusters: int = 16,
+                  n_iters: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Corpus clustering: train seeded k-means, label every vector with its
+    nearest final centroid — (id, cluster). The data-curation op (diversity
+    sampling, per-cluster quotas) and the IVF index build, as one call."""
+    cents = kmeans_centroids(embeddings, n_clusters, n_iters, id_col, vec_col)
+    return _assign_clusters(embeddings.select(id_col, vec_col), cents,
+                            vec_col, id_col, 1, "cluster") \
+        .select(id_col, "cluster")
+
+
 def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     n_clusters: int = 16, n_probe: int = 4,
                     n_iters: int = 2,
