@@ -114,3 +114,31 @@ def test_canonicalize_fast_path_structured(sch, host, port, path, q):
     u = f"{sch}://{host}{port}{path}{q}"
     got = canonicalize_batch(pd.Series([u], dtype="object"))[0]
     assert got == refspec.canonicalize_url(u)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=383),
+               min_size=0, max_size=24))
+def test_bpe_encode_properties(word):
+    """BPE inference on ARBITRARY words (fixture-vocab and far beyond):
+    ranked-merge loop == sequential-apply reference (the standard BPE
+    identity), tokens concatenate back to the word, and token count is
+    monotone-bounded by the character count."""
+    from web_crawler_spark.functions.bpe import load_tokenizer
+    from tests.test_training_ops import _bpe_apply_reference
+    tok = load_tokenizer()
+    got = tok.encode(word)
+    assert got == _bpe_apply_reference(word, tok.merges)
+    assert "".join(got) == word
+    assert len(got) <= max(len(word), 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["table", "the", "spark", "row", "a",
+                                 "customer", "zzz", "batch"]),
+                min_size=0, max_size=12))
+def test_bpe_count_text_is_sum_of_word_counts(words):
+    from web_crawler_spark.functions.bpe import load_tokenizer
+    tok = load_tokenizer()
+    text = " ".join(words)
+    assert tok.count_text(text) == sum(len(tok.encode(w)) for w in words)
