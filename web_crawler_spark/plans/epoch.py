@@ -309,19 +309,15 @@ class CrawlEngine:
 
         _mark("fetch_extract_ckpt")
 
-        # Attempt counts ride the partition-checkpoint write as an
-        # Observation (CollectMetrics) instead of a dedicated agg job —
-        # every epoch count below is folded into a write action that runs
-        # anyway (round-2 judge item 6: fewer driver-side jobs per epoch).
-        from pyspark.sql import Observation
-        obs_fetch = Observation()
-        fetched = fetched.observe(
-            obs_fetch,
-            F.sum(F.when(F.col("kind") == "article", 1).otherwise(0))
-            .alias("arts_total"),
-            F.sum(F.when((F.col("kind") == "article") &
-                         (F.col("fetch_status") == "ok"), 1).otherwise(0))
-            .alias("arts_ok"))
+        # NOTE: the epoch counts below are DELIBERATELY explicit agg jobs,
+        # not Observations riding the write actions. Measured at the 1M-
+        # article stress (local[16]): attaching CollectMetrics to this
+        # checkpointed, payload-carrying plan made EVERY downstream job
+        # ~2.2x slower (158 s vs 67 s whole-run) — the metrics node forces
+        # full-row materialization at the boundary in each of the ~6 jobs
+        # that consume `fetched` — while the explicit count/agg jobs over
+        # the checkpoint cost ~1 s/epoch (and the staged-frontier count is
+        # a parquet-footer metadata read, no data scan).
 
         ok = fetched.filter(F.col("fetch_status") == "ok")
 
@@ -385,12 +381,6 @@ class CrawlEngine:
         #    Per-host lineage (north_rule): fetched/errors exact per host from
         #    the checkpointed fetch result; parsed per host from the article
         #    output; skipped_dup is the epoch-total seen-filter drop count.
-        #    n_parsed rides the articles write as an Observation, the
-        #    attempt counts ride the partition-checkpoint write — no
-        #    dedicated count jobs remain in the epoch.
-        obs_arts = Observation()
-        out_articles = out_articles.observe(obs_arts,
-                                            F.count(F.lit(1)).alias("n"))
 
         # per-partition watermarked lineage from the checkpointed fetch
         # result: partition id = the physical partition that fetched the row,
@@ -413,10 +403,15 @@ class CrawlEngine:
                                 "priority", "discovered_seq"),
             epoch, replace=True)
         _mark("articles_write")
-        at = obs_fetch.get                           # filled by part_ck job
-        n_attempted_arts = at["arts_total"] or 0     # incl. 404/429 rows
-        n_ok_arts = at["arts_ok"] or 0               # actually parsed input
-        n_parsed = obs_arts.get["n"]                 # filled by articles job
+        at = fetched.agg(
+            F.sum(F.when(F.col("kind") == "article", 1).otherwise(0))
+            .alias("arts_total"),
+            F.sum(F.when((F.col("kind") == "article") &
+                         (F.col("fetch_status") == "ok"), 1).otherwise(0))
+            .alias("arts_ok")).first()
+        n_attempted_arts = at["arts_total"] or 0
+        n_ok_arts = at["arts_ok"] or 0
+        n_parsed = out_articles.count()
         _mark("counts")
         if self._bloom is not None:
             self._bloom.add_df(out_articles.select("url"), "url")
@@ -460,13 +455,9 @@ class CrawlEngine:
         # against the ADVANCED frontier and destroy epoch N's articles.)
         new_frontier = leftover.unionByName(discovered).unionByName(
             requeued.select(*leftover.columns))
-        # frontier row count rides the staging write (no re-read of the
-        # staged parquet just to count it)
-        obs_front = Observation()
-        new_frontier = new_frontier.observe(obs_front,
-                                            F.count(F.lit(1)).alias("n"))
-        self.frontier.stage_overwrite(new_frontier, epoch + 1)
-        n_front_out = obs_front.get["n"]
+        staged = self.frontier.stage_overwrite(new_frontier, epoch + 1)
+        # parquet count() is footer-metadata only — no data re-read
+        n_front_out = self.spark.read.parquet(staged).count()
         _mark("frontier_stage")
         self._frontier_rows = n_front_out
         self.checkpoints.append(
