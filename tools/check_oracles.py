@@ -60,6 +60,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd/unregistered name must FAIL, not silently check nothing
+        # (masked a lost @_q decorator once)
+        print(f"error: unknown queries: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

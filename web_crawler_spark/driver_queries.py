@@ -752,6 +752,9 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster. Fully value-checked — the oracle unrolls the Lloyd passes."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_assign(emb, n_clusters=16, n_iters=2)
+
+
+@_q("ivf_cosine_topk", _ivf_oracle_sql())
 def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the bucketed scale path with a full value oracle):
     seeded-k-means quantize (2 Lloyd iterations) → probe 4 of 16 inverted
