@@ -754,6 +754,74 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(emb, n_clusters=16, n_iters=2)
 
 
+_CURATION_LANG_SQL = """
+        CASE
+          WHEN h_fr > 0 AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+          WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+          WHEN h_de > 0 THEN 'de'
+          ELSE 'und' END"""
+
+
+@_q("corpus_curation", f"""
+    WITH {_kmeans_assign_oracle_sql().split('WITH ')[1].split(
+        'SELECT vec_id, cid AS cluster FROM final')[0].rstrip().rstrip(',')},
+    docs AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+             {_CURATION_LANG_SQL} AS lang_pred
+      FROM (SELECT doc_id, text,
+              len(list_intersect(toks, ['the','a','of','and','to','in','is',
+                                        'it','that','for'])) AS h_en,
+              len(list_intersect(toks, ['der','die','das','und','zu','ist',
+                                        'ein','nicht','mit'])) AS h_de,
+              len(list_intersect(toks, ['le','la','les','et','de','un','une',
+                                        'est','pour'])) AS h_fr
+            FROM (SELECT doc_id, text, list_transform(
+                      regexp_split_to_array(trim(text), '\\s+'),
+                      x -> lower(x)) AS toks FROM documents))),
+    gated AS (SELECT * FROM docs WHERE lang_pred = 'en' AND n_tokens >= 15),
+    deduped AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp
+                                                  ORDER BY doc_id) AS fp_rn
+                     FROM gated) WHERE fp_rn = 1),
+    clustered AS (
+      SELECT d.doc_id, d.n_tokens, f.cid AS cluster
+      FROM deduped d JOIN final f ON f.vec_id = d.doc_id)
+    SELECT doc_id, n_tokens, cluster FROM (
+      SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY doc_id)
+                    AS quota_rn
+      FROM clustered)
+    WHERE quota_rn <= 10""")
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END-TO-END as one declarative plan:
+    language-ID gate → token-count quality gate → exact near-dup removal
+    (whitespace-normalized md5, first doc wins) → embedding k-means
+    clustering → per-cluster quota sampling (diversity cap, 10 docs per
+    cluster). Every stage is a built-in-expression composition over ops
+    that are individually oracle-gated (langid, token_stats,
+    fingerprint_md5, embedding_clusters); this query value-checks their
+    COMPOSITION — Catalyst fuses the gates into the document scan and the
+    only shuffles are the dedup window, the cluster assignment argmax, and
+    the quota window, each keyed exactly as a 100 TB run would want."""
+    docs = _t(spark, sf_dir, "documents")
+    gated = (docs
+             .withColumn("lang_pred", T.langid_col(F.col("text")))
+             .withColumn("n_tokens", T.token_count_col(F.col("text")))
+             .withColumn("fp", T.fingerprint_md5_col(F.col("text")))
+             .filter((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 15)))
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (gated.withColumn("fp_rn", F.row_number().over(wfp))
+               .filter(F.col("fp_rn") == 1))
+    clusters = embedding_clusters(spark, sf_dir) \
+        .withColumnRenamed("vec_id", "doc_id")
+    clustered = deduped.join(clusters, "doc_id")
+    wq = Window.partitionBy("cluster").orderBy("doc_id")
+    return (clustered.withColumn("quota_rn", F.row_number().over(wq))
+            .filter(F.col("quota_rn") <= 10)
+            .select("doc_id", "n_tokens", "cluster"))
+
+
 @_q("ivf_cosine_topk", _ivf_oracle_sql())
 def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the bucketed scale path with a full value oracle):
