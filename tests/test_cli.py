@@ -96,3 +96,24 @@ def test_cli_crawl_then_query_roundtrip(spark, tmp_path):
     n = int([ln for ln in text.splitlines()
              if ln.startswith("Total articles:")][0].split(":")[1])
     assert n > 0
+
+
+def test_cli_crawl_page_range_limits_seeds(spark, tmp_path):
+    """Page-number --from/--to (main.py:156-168 semantics) crawl only the
+    selected slice of seed list pages — fewer articles than the full run,
+    and a mixed page/date pair is page-based (date ignored), as in the
+    reference."""
+    full = str(tmp_path / "full")
+    sliced = str(tmp_path / "sliced")
+    base = dict(pages=None, seeds=None, n_docs=300, epochs=3,
+                request_delay=1.0)
+    cli.cmd_crawl(spark, _ns(full, start_date=None, end_date=None, **base),
+                  out=io.StringIO())
+    cli.cmd_crawl(spark, _ns(sliced, start_date="1", end_date="2", **base),
+                  out=io.StringIO())
+    from web_crawler_spark.plans.epoch import ARTICLES_DDL
+    from web_crawler_spark.sources.tables import LakeTable
+    n_full = LakeTable(full + "/articles", ARTICLES_DDL).read(spark).count()
+    n_sliced = LakeTable(sliced + "/articles", ARTICLES_DDL) \
+        .read(spark).count()
+    assert 0 < n_sliced < n_full

@@ -247,6 +247,14 @@ def test_fast_parser_matches_stdlib_on_all_fixture_shapes():
         b'<div><span a="1" b/><p>sib</p></div>',
         b'<div><span a=b c="d"/><p>sib</p></div>',
         b"<div><em/>x<span/>y</div><p>tail</p>",
+        # whitespace around '=' before an unquoted value: attrfind_tolerant
+        # still absorbs the '/' into the value (round-3 review finding)
+        b"<div><span foo = bar/><p>in</p></div>",
+        b"<div><span foo= bar/><p>in</p></div>",
+        b"<div><span foo =bar/><p>in</p></div>",
+        b"<div><span foo = /><p>in</p></div>",
+        b'<div><span foo = "x"/><p>sib</p></div>',
+        b"<div><span foo=bar baz/><p>sib</p></div>",
     ]
     for h in self_closing:
         assert _tree_eq(r.parse_html(h), r.parse_html_stdlib(h)), h

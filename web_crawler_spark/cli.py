@@ -29,7 +29,7 @@ import os
 import sys
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LIMIT = 20
@@ -43,7 +43,6 @@ def _tables(spark: SparkSession, workdir: str):
     investing owns several list pages), while the reference's CLI prints
     one row per SOURCE; collapse to one row per id here (first row by url,
     latest last_crawled) so dim joins never fan article rows out."""
-    from pyspark.sql import Window
     from .plans.epoch import ARTICLES_DDL, SOURCES_DDL
     from .sources.tables import LakeTable
     articles = LakeTable(os.path.join(workdir, "articles"),
@@ -180,15 +179,27 @@ def _parse_range_value(v: Optional[str]):
 
 def cmd_crawl(spark, args, out=sys.stdout) -> None:
     """main.py analog: run the engine. Pages come from --pages (a parquet
-    of (url, html) — the Iceberg-shaped corpus) or a deterministic
-    synthetic web (--n-docs). Date --from/--to become the permissive P4
-    range filter; page-number ranges select investing-style list seeds."""
+    of (url, html) — the Iceberg-shaped corpus; requires --seeds) or a
+    deterministic synthetic web (--n-docs). Date --from/--to become the
+    permissive P4 range filter; page-number --from/--to select the
+    page_start..page_end slice of the seed LIST pages (investing-style
+    page crawling). Mirroring main.py:156-168: if EITHER value parses as
+    a page number the run is page-based and any date in the other slot is
+    ignored (page_end defaults to page_start)."""
     from . import html_synth
     from .plans.epoch import CrawlConfig, CrawlEngine
+    if args.pages and not args.seeds:
+        print("error: --pages requires --seeds (parquet of seed rows)",
+              file=sys.stderr)
+        raise SystemExit(2)
     is_pg_from, fv = _parse_range_value(args.start_date)
     is_pg_to, tv = _parse_range_value(args.end_date)
     start_date = end_date = None
-    if not (is_pg_from or is_pg_to):
+    page_start = page_end = None
+    if is_pg_from or is_pg_to:
+        page_start = fv if is_pg_from else 1
+        page_end = tv if is_pg_to else page_start
+    else:
         start_date, end_date = fv, tv
     if args.pages:
         pages = spark.read.parquet(args.pages)
@@ -198,6 +209,13 @@ def cmd_crawl(spark, args, out=sys.stdout) -> None:
                                    n_hosts=8, seed=42)
         pages = html_synth.pages_df(spark, web)
         seeds = html_synth.seeds_df(spark, web)
+    if page_start is not None:
+        # page-based crawling: keep only the 1-based [page_start, page_end]
+        # slice of the seed list pages, in deterministic seed order
+        w = Window.orderBy("source_id", "url")
+        seeds = (seeds.withColumn("__pg", F.row_number().over(w))
+                 .filter((F.col("__pg") >= page_start) &
+                         (F.col("__pg") <= page_end)).drop("__pg"))
     cfg = CrawlConfig(start_date=start_date, end_date=end_date,
                       request_delay=args.request_delay)
     eng = CrawlEngine(spark, args.workdir, pages, cfg)

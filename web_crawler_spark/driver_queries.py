@@ -561,12 +561,15 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q("bpe_token_stats", f"""
-    SELECT d.doc_id, CAST(SUM(l.n_tokens) AS BIGINT) AS n_subword
-    FROM (SELECT doc_id,
-                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-          FROM documents) d
-    JOIN read_parquet('{bpe.WORD_TOKENS_PARQUET}') l ON l.word = d.w
-    GROUP BY d.doc_id""")
+    WITH wc AS (
+      SELECT doc_id, SUM(l.n_tokens) AS s
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents) u
+      JOIN read_parquet('{bpe.WORD_TOKENS_PARQUET}') l ON l.word = u.w
+      WHERE u.w <> '' GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(wc.s, 0) AS BIGINT) AS n_subword
+    FROM documents d LEFT JOIN wc USING (doc_id)""")
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real byte-pair-encoding token counting: the Spark side runs the
     actual merge loop (functions/bpe.py, Arrow UDF over the committed
@@ -751,7 +754,9 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizes the IVF index): every vector labeled with its final-centroid
     cluster. Fully value-checked — the oracle unrolls the Lloyd passes."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.kmeans_assign(emb, n_clusters=16, n_iters=2)
+    return similarity.kmeans_assign(
+        emb, n_clusters=16, n_iters=2,
+        centroids=_kmeans_centroids_cached(spark, sf_dir))
 
 
 _CURATION_LANG_SQL = """
@@ -830,8 +835,9 @@ def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivf_cosine_topk(emb, queries, k=5, n_clusters=16,
-                                      n_probe=4, n_iters=2)
+    return similarity.ivf_cosine_topk(
+        emb, queries, k=5, n_clusters=16, n_probe=4, n_iters=2,
+        centroids=_kmeans_centroids_cached(spark, sf_dir))
 
 
 _PLANES_PARQUET = _os.path.join(
@@ -994,6 +1000,14 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CRAWL_CACHE: Dict[tuple, DataFrame] = {}
 
 
+def _session_key(spark: SparkSession) -> tuple:
+    """Cache key that cannot collide across session restarts: id() alone
+    can be reused by a new session after the old one is GC'd, handing out
+    DataFrames bound to a stopped context — applicationId is unique per
+    SparkContext."""
+    return (id(spark), spark.sparkContext.applicationId)
+
+
 def _crawl_extract_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four library-surface queries (articles_search/articles_recent/
     sources_listing/csv_roundtrip) all consume the SAME crawled-articles
@@ -1003,11 +1017,28 @@ def _crawl_extract_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch-join + parse four extra times (round-2 judge item 7).
     crawl_extract itself stays uncached — its own oracle row and the plan
     -discipline tests exercise the real plan."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _CRAWL_CACHE:
         _CRAWL_CACHE[key] = crawl_extract(spark, sf_dir) \
             .localCheckpoint(eager=True)
     return _CRAWL_CACHE[key]
+
+
+_KMEANS_CACHE: Dict[tuple, DataFrame] = {}
+
+
+def _kmeans_centroids_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_clusters, corpus_curation and ivf_cosine_topk all train
+    the SAME seeded quantizer (16 clusters, 2 Lloyd passes over the same
+    embeddings) — share the centroid table per (session, sf_dir) instead
+    of re-deriving byte-identical centroids three times per suite run.
+    The cached value is a tiny local-literal DataFrame, so nothing heavy
+    is pinned."""
+    key = (_session_key(spark), sf_dir)
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = similarity.kmeans_centroids(
+            _t(spark, sf_dir, "embeddings"), n_clusters=16, n_iters=2)
+    return _KMEANS_CACHE[key]
 
 
 @_q("csv_roundtrip", f"""

@@ -123,17 +123,27 @@ def load_tokenizer(path: str = MERGES_JSON) -> BpeTokenizer:
         return BpeTokenizer([tuple(m) for m in json.load(f)["merges"]])
 
 
+#: per-python-worker tokenizer (keyed by merge-table identity) — built once
+#: per worker PROCESS, not per Arrow batch, so the per-word lru_cache
+#: actually accumulates across batches (a fresh tokenizer per batch would
+#: silently discard the memoisation the design relies on)
+_WORKER_TOKENIZERS: Dict[int, BpeTokenizer] = {}
+
+
 @lru_cache(maxsize=1)
 def bpe_token_count_udf():
     """Arrow-batched token counter over the committed merge table. The
     merge list rides the task closure (a few hundred strings); per-word
     encodes are memoised inside each python worker, so steady-state cost
     is one dict lookup per word occurrence."""
-    merges = load_tokenizer().merges
+    merges = tuple(load_tokenizer().merges)
 
     @pandas_udf("bigint")
     def _count(texts: pd.Series) -> pd.Series:
-        tok = BpeTokenizer(merges)
+        tok = _WORKER_TOKENIZERS.get(hash(merges))
+        if tok is None:
+            tok = _WORKER_TOKENIZERS.setdefault(hash(merges),
+                                                BpeTokenizer(merges))
         return texts.map(tok.count_text).astype("int64")
 
     return _count

@@ -161,11 +161,14 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,
 
 def kmeans_assign(embeddings: DataFrame, n_clusters: int = 16,
                   n_iters: int = 2, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """Corpus clustering: train seeded k-means, label every vector with its
-    nearest final centroid — (id, cluster). The data-curation op (diversity
-    sampling, per-cluster quotas) and the IVF index build, as one call."""
-    cents = kmeans_centroids(embeddings, n_clusters, n_iters, id_col, vec_col)
+                  vec_col: str = "embedding",
+                  centroids: DataFrame | None = None) -> DataFrame:
+    """Corpus clustering: train seeded k-means (or take pre-trained
+    `centroids`), label every vector with its nearest final centroid —
+    (id, cluster). The data-curation op (diversity sampling, per-cluster
+    quotas) and the IVF index build, as one call."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        embeddings, n_clusters, n_iters, id_col, vec_col)
     return _assign_clusters(embeddings.select(id_col, vec_col), cents,
                             vec_col, id_col, 1, "cluster") \
         .select(id_col, "cluster")
@@ -175,7 +178,8 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     n_clusters: int = 16, n_probe: int = 4,
                     n_iters: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    qid_col: str = "query_id") -> DataFrame:
+                    qid_col: str = "query_id",
+                    centroids: DataFrame | None = None) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into n_clusters inverted
     lists, probe only the n_probe nearest lists per query, exact cosine
     rerank inside the probed lists.
@@ -191,8 +195,9 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     unrolled Lloyd iterations — is DuckDB-restatable, so this ANN path is
     value-checked end-to-end by the driver's oracle; recall vs the exact
     brute force is gated by tests/test_training_ops.py."""
-    centroids = kmeans_centroids(embeddings, n_clusters, n_iters,
-                                 id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_clusters, n_iters,
+                                     id_col, vec_col)
     corpus = _assign_clusters(embeddings.select(id_col, vec_col), centroids,
                               vec_col, id_col, 1, "cluster")
     qs = _assign_clusters(

@@ -475,7 +475,7 @@ class CrawlEngine:
             touched = (fetched.filter(F.col("fetch_status") == "ok")
                        .select(F.col("source_id").alias("id")).distinct())
             src = self.sources.read(self.spark)
-            stamp = f"{SCRAPED_TS}#epoch={epoch}"
+            stamp = f"{SCRAPED_TS}#epoch={epoch:06d}"  # zero-padded: string max == numeric max
             upd = (src.join(touched.withColumn("__lc", F.lit(stamp)),
                             "id", "left")
                    .withColumn("last_crawled",

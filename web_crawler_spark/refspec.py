@@ -233,16 +233,25 @@ def _parse_html_fast(s: str) -> Element:
                     _htmlmod.unescape(v) if v else ""
         # XHTML-style self-closing (<span/>): mirror HTMLParser's
         # startendtag detection exactly — the trailing '/' closes the tag
-        # UNLESS it was consumed by an unquoted attribute value
-        # (`foo=bar/` → value "bar/", tag stays open; `foo="x"/`, `foo/`,
-        # bare ` /` → self-closing). Default handle_startendtag calls
-        # start+end, so the element is never pushed.
+        # UNLESS it was consumed by an UNQUOTED attribute value
+        # (`foo=bar/`, `foo = bar/`, `foo=/` → value ends in '/', tag stays
+        # open; `foo="x"/`, bare `foo/`, ` /` → self-closing). _ATTR's
+        # grammar matches attrfind_tolerant (spaces around '=', unquoted
+        # value = [^\s>]* which eats '/'), so the check is: does the last
+        # attribute match carry an unquoted value reaching the very end of
+        # the attr blob? Default handle_startendtag calls start+end, so a
+        # self-closed element is never pushed.
         self_close = False
         if raw_attrs and raw_attrs.endswith("/"):
-            last = raw_attrs.split()[-1]
-            eq = last.find("=")
-            if last == "/" or eq < 0 or last[eq + 1:eq + 2] in ('"', "'"):
-                self_close = True
+            self_close = True
+            last_m = None
+            for last_m in _ATTR.finditer(raw_attrs):
+                pass
+            if (last_m is not None and last_m.end() == len(raw_attrs)
+                    and last_m.group(2) is not None
+                    and last_m.group(3) is None and last_m.group(4) is None
+                    and last_m.group(2).endswith("/")):
+                self_close = False
         el = Element(name, attrs, parent=stack[-1])
         stack[-1].children.append(el)
         if name not in VOID_TAGS and not self_close:
