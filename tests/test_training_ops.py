@@ -346,3 +346,29 @@ def test_stream_windowed_counts_keeps_null_and_sentinel_like_keys(spark):
     out = sessions.stream_windowed_counts(spark, ev, window="1 hour")
     got = {(r.event_type, r.n_events) for r in out.collect()}
     assert got == {("a", 1), (None, 2), ("__sentinel__", 1)}
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    """Resize/frame-sample (brief ops): only the target modality crosses
+    the python boundary, the source payload never appears in the output,
+    thumbs are the stub's 64-byte blobs, and the frame fan-out is exactly
+    duration//every_ms + 1 rows per video."""
+    import hashlib
+    from web_crawler_spark.operators import multimodal
+    media = multimodal.synth_media(spark, n=12)
+    rs = multimodal.resize_images(media, w=8, h=8)
+    assert "payload" not in rs.columns
+    rows = rs.collect()
+    assert {r.media_id % 3 for r in rows} == {0}          # images only
+    for r in rows:
+        assert len(r.thumb) == 64 and r.decode_ok
+        assert hashlib.md5(bytes(r.thumb[:16])).digest  # blob accessible
+    fr = multimodal.sample_frames(media, every_ms=2000)
+    assert "payload" not in fr.columns
+    by_vid = {}
+    for r in fr.collect():
+        by_vid.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    for mid, tss in by_vid.items():
+        assert mid % 3 == 2                               # videos only
+        dur = 1000 * (mid % 7)
+        assert sorted(tss) == list(range(0, dur + 1, 2000))

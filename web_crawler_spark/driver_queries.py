@@ -1223,3 +1223,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal
     media = multimodal.media_from_documents(spark, sf_dir)
     return multimodal.extract_features(media)
+
+
+@_q("multimodal_resize", """
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           md5(trim(text) || ':8x8') AS thumb_md5, true AS decode_ok
+    FROM documents WHERE doc_id % 3 = 0""")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (brief: 'decode / feature-extract / RESIZE /
+    frame-sample as Pandas UDFs over mapInPandas'): images only cross the
+    python boundary, the source payload is never re-emitted, and the stub
+    thumbnail signature is value-checked by the oracle. The thumb binary
+    itself is produced by the operator; this query projects the scalar
+    columns the driver can hash."""
+    from .operators import multimodal
+    media = multimodal.media_from_documents(spark, sf_dir)
+    return multimodal.resize_images(media, w=8, h=8).select(
+        "media_id", "width", "height", "thumb_md5", "decode_ok")
+
+
+@_q("multimodal_frame_sample", """
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 2000 AS INT) AS frame_ts_ms,
+           md5(t || ':frame:' || (i * 2000)) AS frame_md5,
+           true AS decode_ok
+    FROM (SELECT doc_id AS media_id, trim(text) AS t,
+                 unnest(generate_series(0, (doc_id % 7 * 1000) // 2000)) AS i
+          FROM documents WHERE doc_id % 3 = 2)""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled timestamp per
+    video (duration-driven fan-out inside the Arrow iterator), stub frame
+    signatures value-checked by the oracle."""
+    from .operators import multimodal
+    media = multimodal.media_from_documents(spark, sf_dir)
+    return multimodal.sample_frames(media, every_ms=2000)

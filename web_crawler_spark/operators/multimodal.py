@@ -109,3 +109,76 @@ def extract_features(media: DataFrame) -> DataFrame:
                                 "value": vals, "decode_ok": oks})
 
     return media.mapInPandas(run, schema=FEATURE_DDL)
+
+
+RESIZE_DDL = ("media_id bigint, width int, height int, thumb binary, "
+              "thumb_md5 string, decode_ok boolean")
+
+FRAME_DDL = ("media_id bigint, frame_idx int, frame_ts_ms int, "
+             "frame_md5 string, decode_ok boolean")
+
+
+def resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB: replace with PIL Image.open(...).resize((w, h)).tobytes().
+    Deterministic fake thumbnail: md5(payload + ':WxH') digest tiled to a
+    64-byte blob — SQL-expressible so the oracle checks the full path."""
+    return hashlib.md5((payload or b"") + f":{w}x{h}".encode()).digest() * 4
+
+
+def resize_images(media: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
+    """Image resize over the binary payload column (mapInPandas, images
+    only — the filter prunes other modalities BEFORE the python boundary,
+    and the input payload never appears in the output, so at scale the
+    original bytes are scanned once and only thumb-sized data shuffles).
+    Decode failures quarantine as decode_ok=false rows (T6 semantics)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs, md5s, oks = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    t = resize_stub(payload, w, h)
+                    ids.append(mid); thumbs.append(t)
+                    md5s.append(hashlib.md5(
+                        (payload or b"") + f":{w}x{h}".encode()).hexdigest())
+                    oks.append(True)
+                except Exception:
+                    ids.append(mid); thumbs.append(None)
+                    md5s.append(None); oks.append(False)
+            yield pd.DataFrame({"media_id": ids, "width": w, "height": h,
+                                "thumb": thumbs, "thumb_md5": md5s,
+                                "decode_ok": oks})
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(run, schema=RESIZE_DDL))
+
+
+def sample_frames(media: DataFrame, every_ms: int = 2000) -> DataFrame:
+    """Video frame sampling (mapInPandas): one row per sampled timestamp
+    0, every_ms, ... <= duration_ms; the frame 'decode' is the stub
+    signature md5(payload + ':frame:<ts>'). Only video rows reach the
+    python boundary; the payload is scanned once and never re-emitted."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, md5s, oks = [], [], [], [], []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                try:
+                    n = int(dur or 0) // every_ms + 1
+                    for i in range(n):
+                        ts = i * every_ms
+                        ids.append(mid); idxs.append(i); tss.append(ts)
+                        md5s.append(hashlib.md5(
+                            (payload or b"") + f":frame:{ts}".encode())
+                            .hexdigest())
+                        oks.append(True)
+                except Exception:
+                    ids.append(mid); idxs.append(0); tss.append(0)
+                    md5s.append(None); oks.append(False)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame_ts_ms": tss, "frame_md5": md5s,
+                                "decode_ok": oks})
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload", "duration_ms")
+            .mapInPandas(run, schema=FRAME_DDL))
