@@ -29,7 +29,7 @@ import os
 import sys
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LIMIT = 20
