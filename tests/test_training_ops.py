@@ -145,6 +145,23 @@ def test_lsh_cosine_buckets_finds_planted_neighbors(spark):
     assert all(abs(rank1[i][1] - 1.0) < 1e-3 for i in range(n))
 
 
+def test_lsh_planes_single_source_is_the_committed_parquet():
+    """The hyperplane matrix has ONE source of truth — the committed
+    parquet the DuckDB oracle also reads. An uncommitted (dim, bits, seed)
+    combo must be a hard error, not a silent in-process regeneration (the
+    round-3 verdict's two-sources-of-truth hazard)."""
+    import pytest
+    from web_crawler_spark.operators import similarity
+    planes = similarity._load_planes(64, 16, 42)
+    assert planes.shape == (64, 16)
+    with pytest.raises(FileNotFoundError, match="gen_hyperplanes"):
+        similarity._load_planes(32, 8, 7)
+    # and the regeneration path is really gone from the module
+    import inspect
+    src = inspect.getsource(similarity)
+    assert "rng.normal" not in src and "np.random" not in src
+
+
 def test_winnow_fingerprints_golden(spark):
     """Winnowing (Schleimer et al. SIGMOD'03) vs an independent naive
     reference: k-gram rolling hashes, min per window of 4, distinct — plus

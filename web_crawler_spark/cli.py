@@ -51,10 +51,21 @@ def _tables(spark: SparkSession, workdir: str):
     sources = None if sources_t.is_empty() else sources_t.read(spark)
     if sources is not None:
         w = Window.partitionBy("id").orderBy("url")
+        # "latest" is decided by the NUMERIC epoch parsed out of the stamp,
+        # not by string order: a workdir resumed from a pre-zero-padding run
+        # holds mixed '#epoch=9' / '#epoch=000012' stamps where string MAX
+        # misorders ('...=9' > '...=000012')
+        lc_epoch = F.regexp_extract("last_crawled", r"#epoch=(\d+)", 1) \
+            .cast("int")
+        lc_rank = F.when(
+            F.col("last_crawled").isNotNull(),
+            F.struct(F.coalesce(lc_epoch, F.lit(-1)).alias("e"),
+                     F.col("last_crawled").alias("s")))
         sources = (sources
                    .withColumn("last_crawled",
-                               F.max("last_crawled")
-                               .over(Window.partitionBy("id")))
+                               F.max(lc_rank)
+                               .over(Window.partitionBy("id"))
+                               .getField("s"))
                    .withColumn("__rn", F.row_number().over(w))
                    .filter(F.col("__rn") == 1).drop("__rn"))
     if sources is None:

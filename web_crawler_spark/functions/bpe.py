@@ -127,7 +127,7 @@ def load_tokenizer(path: str = MERGES_JSON) -> BpeTokenizer:
 #: per worker PROCESS, not per Arrow batch, so the per-word lru_cache
 #: actually accumulates across batches (a fresh tokenizer per batch would
 #: silently discard the memoisation the design relies on)
-_WORKER_TOKENIZERS: Dict[int, BpeTokenizer] = {}
+_WORKER_TOKENIZERS: Dict[Tuple[Tuple[str, str], ...], BpeTokenizer] = {}
 
 
 @lru_cache(maxsize=1)
@@ -140,10 +140,11 @@ def bpe_token_count_udf():
 
     @pandas_udf("bigint")
     def _count(texts: pd.Series) -> pd.Series:
-        tok = _WORKER_TOKENIZERS.get(hash(merges))
+        # keyed by the merges tuple itself (hashable) — a raw hash() key
+        # could collide between two different merge tables in one worker
+        tok = _WORKER_TOKENIZERS.get(merges)
         if tok is None:
-            tok = _WORKER_TOKENIZERS.setdefault(hash(merges),
-                                                BpeTokenizer(merges))
+            tok = _WORKER_TOKENIZERS.setdefault(merges, BpeTokenizer(merges))
         return texts.map(tok.count_text).astype("int64")
 
     return _count

@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+import os as _os
 from functools import lru_cache
 
 import numpy as np
@@ -151,9 +152,19 @@ def kmeans_centroids(embeddings: DataFrame, n_clusters: int = 16,
                      *[F.sum(F.element_at(F.col(vec_col), d + 1)
                              .cast("double").cast("decimal(30,15)"))
                        .alias(f"__s{d}") for d in range(dim)]))
+        collected = sums.collect()
+        for r in collected:
+            for d in range(dim):
+                if r[f"__s{d}"] is None:
+                    # Spark yields NULL (not an error) on decimal overflow;
+                    # silently treating it as 0 would corrupt the centroid
+                    raise ValueError(
+                        f"k-means dimension sum overflowed decimal(30,15) "
+                        f"for cluster {r['__k']} dim {d} (n={r['__n']}) — "
+                        f"normalize the vectors or widen the decimal")
         new = {r["__k"]: [float(r[f"__s{d}"]) / r["__n"]
                           for d in range(dim)]
-               for r in sums.collect()}
+               for r in collected}
         prev = {cid: new.get(cid, cv) for cid, cv in prev.items()}
     return spark.createDataFrame(
         sorted(prev.items()), schema="__cid bigint, __cv array<double>")
@@ -214,10 +225,32 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     "rank"))
 
 
+def _load_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Load the committed hyperplane matrix (single source of truth — the
+    SAME parquet the DuckDB oracle reads, web_crawler_spark/data/). The
+    in-process RandomState regeneration was removed: it agreed with the
+    committed file only as long as numpy's normal() stream never changed,
+    a silent split waiting to happen. Missing (dim, bits, seed) combos are
+    a hard error pointing at tools/gen_hyperplanes.py."""
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "data", f"hyperplanes_d{dim}_b{n_bits}_s{seed}.parquet")
+    if not _os.path.exists(path):
+        raise FileNotFoundError(
+            f"no committed hyperplane table for dim={dim}, n_bits={n_bits}, "
+            f"seed={seed}; generate it with tools/gen_hyperplanes.py "
+            f"(expected {path})")
+    import pyarrow.parquet as pq
+    t = pq.read_table(path).sort_by("bit")
+    planes = np.stack([np.asarray(p, dtype=np.float64)
+                       for p in t.column("plane").to_pylist()], axis=1)
+    assert planes.shape == (dim, n_bits), planes.shape
+    return planes
+
+
 @lru_cache(maxsize=4)
 def _hyperplane_sig_udf(dim: int, n_bits: int, seed: int):
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_bits)).astype(np.float64)
+    planes = _load_planes(dim, n_bits, seed)
     weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
 
     @pandas_udf("bigint")
@@ -225,7 +258,16 @@ def _hyperplane_sig_udf(dim: int, n_bits: int, seed: int):
         if not len(vecs):
             return pd.Series([], dtype="int64")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ planes) > 0
+        # sign-of-dot computed by an explicit index-order accumulation (one
+        # mul + one add per dimension, in dimension order) instead of BLAS
+        # matmul: a blocked/pairwise BLAS sum can differ in the last ULP,
+        # and at the sign boundary of a near-zero dot that flips a bucket
+        # bit — this order matches DuckDB list_dot_product's sequential
+        # loop, so the oracle comparison is platform-stable.
+        acc = np.zeros((m.shape[0], n_bits), dtype=np.float64)
+        for d in range(dim):
+            acc += m[:, d:d + 1] * planes[d]
+        bits = acc > 0
         return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
 
     return sig
