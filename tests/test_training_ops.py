@@ -260,6 +260,24 @@ def test_ivf_kmeans_recall_on_clustered_data(spark):
     assert all(v not in corpus_vecs for v in cent_vecs)
 
 
+def test_committed_ivf_centroids_reproducible(spark):
+    """The committed quantizer table (tools/gen_ivf_centroids.py) is a pure
+    function of the sf0.001 embeddings fixture: retraining must reproduce
+    it value-for-value — the same reproducibility gate the BPE merge table
+    has. Guards against the committed file silently diverging from the
+    training code (the two-sources-of-truth hazard the LSH planes had)."""
+    from web_crawler_spark.driver_queries import (_IVF_CENTROIDS_PARQUET,
+                                                  _committed_centroids)
+    from web_crawler_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fresh = {r["__cid"]: list(r["__cv"])
+             for r in similarity.kmeans_centroids(
+                 emb, n_clusters=16, n_iters=2).collect()}
+    committed = {r["__cid"]: list(r["__cv"])
+                 for r in _committed_centroids(spark).collect()}
+    assert committed == fresh, _IVF_CENTROIDS_PARQUET
+
+
 def test_bpe_learning_matches_classic_example():
     """Sennrich et al.'s worked example: with freqs {low:5, lower:2,
     newest:6, widest:3} the greedy merges start (e,s) → (es,t) — then the
