@@ -56,10 +56,44 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--repeat", type=int, default=1,
                     help="best-of-N timing per query")
+    ap.add_argument("--no-control", action="store_true",
+                    help="skip the machine-control calibration")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from web_crawler_spark.session import get_spark
+
+    # Machine-control calibration (run BEFORE the Spark JVM spins up so the
+    # control sees the same idle/steal conditions the suite is about to):
+    # pure-CPU mp.Pool article extraction at 2 procs and at --cores procs,
+    # pinned with taskset — what the MACHINE gives those cores right now,
+    # independent of Spark. This is a shared hypervisor VM with measured
+    # steal windows (round-3 record: 23% steal / 0.40-of-linear at 32 busy
+    # procs made an unchanged-plan suite read 2.3x slower), so every bench
+    # json carries its own window health. Read it against BASELINE.md's
+    # clean-window reference: ~13-17k docs/s/proc at 2 procs and
+    # machine_scaling_efficiency_2_to_cores >= ~0.65 at 32 means a clean
+    # window (SMT caps the upper bound well below 1.0 at 32 busy procs);
+    # an efficiency near 0.4 reproduces the round-3 contaminated record —
+    # there, the suite time is window noise, not a plan regression.
+    control: dict = {}
+    if not args.no_control:
+        from tools.bench_scaling import _mp_control
+        try:
+            lo = _mp_control(2, per=20000)
+            hi = _mp_control(args.cores, per=20000)
+            control = {
+                "machine_control_docs_per_sec": {
+                    "2": round(lo, 0), str(args.cores): round(hi, 0)},
+                "machine_scaling_efficiency_2_to_cores": round(
+                    (hi / args.cores) / (lo / 2), 3),
+            }
+            print(f"# machine control: {lo:.0f} docs/s @2p, "
+                  f"{hi:.0f} docs/s @{args.cores}p, "
+                  f"eff={control['machine_scaling_efficiency_2_to_cores']}",
+                  file=sys.stderr)
+        except Exception as exc:  # control is diagnostic, never fatal
+            control = {"machine_control_error": str(exc)[:200]}
 
     spark = get_spark("bench", cores=args.cores)
     qs = entrymod.queries()
@@ -102,6 +136,7 @@ def main() -> None:
         "sf": sf,
         "cores": args.cores,
     }
+    out.update(control)
     if crawl_sec > 0:
         # articles stored / wall time of the full multi-epoch engine run —
         # a lower bound on fetch+parse throughput (dup-skips, date-drops and
