@@ -1,0 +1,111 @@
+"""DeltaFrontier (merge-on-read frontier) — incremental-maintenance gates.
+
+Round-3 verdict Next #3: the frontier must not be fully rewritten every
+epoch. These tests pin (a) the delta-table semantics (equality deletes with
+the Iceberg sequence-number rule, atomic adds+dels commit, compaction) and
+(b) the engine-level efficiency criterion: an epoch that touches <1% of the
+frontier's rows writes <~5% of the frontier's bytes.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.plans.epoch import CrawlConfig, CrawlEngine
+from web_crawler_spark.sources.tables import DeltaFrontier, _dir_bytes
+
+DDL = ("url string, host string, kind string, parser_class string, "
+       "source_id bigint, priority int, discovered_seq bigint, "
+       "next_fetch_ts double, retries int, date_str string, "
+       "list_title string, list_summary string, epoch_added int")
+
+
+def _rows(spark, n, epoch_added=0, retries=0, host="h.com", start=0):
+    return spark.range(start, start + n).select(
+        F.concat(F.lit(f"https://{host}/a/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.lit(host).alias("host"), F.lit("article").alias("kind"),
+        F.lit("rbc").alias("parser_class"), F.lit(1).alias("source_id"),
+        F.lit(1).alias("priority"), F.col("id").alias("discovered_seq"),
+        F.lit(0.0).alias("next_fetch_ts"), F.lit(retries).alias("retries"),
+        F.lit(None).cast("string").alias("date_str"),
+        F.lit(None).cast("string").alias("list_title"),
+        F.lit(None).cast("string").alias("list_summary"),
+        F.lit(epoch_added).alias("epoch_added"))
+
+
+def test_delta_read_applies_equality_deletes(spark, tmp_path):
+    t = DeltaFrontier(str(tmp_path / "f"), DDL)
+    t.overwrite(_rows(spark, 10), epoch=0)
+    adds = _rows(spark, 3, epoch_added=1, start=100)
+    dels = _rows(spark, 4).select("url", "discovered_seq", "retries")
+    staged = t.stage_delta(adds, dels, epoch=1)
+    # staged but uncommitted: old snapshot still visible (crash window)
+    assert t.read(spark).count() == 10
+    t.commit_delta(1, staged)
+    live = t.read(spark)
+    assert live.count() == 10 - 4 + 3
+    gone = {r.url for r in dels.collect()}
+    assert not {r.url for r in live.collect()} & gone
+
+
+def test_delta_sequence_rule_same_epoch_add_not_shadowed(spark, tmp_path):
+    """Iceberg v2 sequence numbers: a delete written by snapshot E kills
+    only rows with epoch_added <= E-1 — a row RE-ADDED in the same commit
+    (same equality key, newer epoch_added) survives its own tombstone."""
+    t = DeltaFrontier(str(tmp_path / "f"), DDL)
+    t.overwrite(_rows(spark, 5), epoch=0)                 # epoch_added=0
+    readd = _rows(spark, 2, epoch_added=1)                # SAME url+seq+retries
+    dels = _rows(spark, 5).select("url", "discovered_seq", "retries")
+    t.commit_delta(1, t.stage_delta(readd, dels, epoch=1))
+    live = t.read(spark).collect()
+    assert len(live) == 2
+    assert all(r.epoch_added == 1 for r in live)
+
+
+def test_delta_compaction_folds_tombstones(spark, tmp_path):
+    t = DeltaFrontier(str(tmp_path / "f"), DDL, compact_ratio=0.3)
+    t.overwrite(_rows(spark, 100), epoch=0)
+    dels = _rows(spark, 60).select("url", "discovered_seq", "retries")
+    t.commit_delta(1, t.stage_delta(_rows(spark, 0, start=500), dels, 1))
+    before = t.read(spark).count()
+    assert t.maybe_compact(spark, 2)
+    s = t.stats()
+    assert s["del_rows"] == 0 and s["snapshots"] == 1
+    assert t.read(spark).count() == before == 40
+    # and a small delete set does NOT trigger compaction
+    dels2 = _rows(spark, 2, start=60).select("url", "discovered_seq",
+                                             "retries")
+    t.commit_delta(3, t.stage_delta(_rows(spark, 0, start=900), dels2, 3))
+    assert not t.maybe_compact(spark, 4)
+    assert t.read(spark).count() == 38
+
+
+def test_epoch_writes_delta_not_frontier(spark, tmp_path):
+    """The verdict's done-criterion: an epoch that consumes <1% of frontier
+    rows writes <5% of the frontier's bytes (old design: 100% every epoch).
+    Budget 2 hosts x 100 = 200 of 40,000 rows = 0.5% touched."""
+    wd = str(tmp_path / "lake")
+    pages = spark.createDataFrame(
+        [], schema="url string, warc_ts timestamp, html binary, "
+                   "text string, lang string")
+    eng = CrawlEngine(spark, wd, pages,
+                      CrawlConfig(per_host_budget=100, request_delay=0.0))
+    big = _rows(spark, 20000, host="h1.com").unionByName(
+        _rows(spark, 20000, host="h2.com", start=20000))
+    eng.frontier.overwrite(big.repartition(8), epoch=0)
+    base_bytes = eng.frontier.stats()["add_bytes"]
+    stats = eng.run_epoch(0)
+    assert stats["frontier_in"] == 40000
+    assert stats["frontier_out"] == 39800          # 200 consumed, 0 added
+    s = eng.frontier.stats()
+    delta_bytes = (s["add_bytes"] + s["del_bytes"]) - base_bytes
+    assert s["add_bytes"] >= base_bytes            # base files untouched
+    assert delta_bytes < 0.05 * base_bytes, (delta_bytes, base_bytes)
+    # the delta is REAL: the consumed rows are gone from the live view
+    assert eng.frontier.read(spark).count() == 39800
+    # no add/del dir beyond the expected snapshots, no rewrite of epoch 0
+    dirs = sorted(d for d in os.listdir(eng.frontier.path)
+                  if not d.startswith("_"))
+    assert dirs == ["add=0", "del=1"]
+    assert _dir_bytes(os.path.join(eng.frontier.path, "add=0")) == base_bytes

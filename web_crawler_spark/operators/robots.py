@@ -120,18 +120,21 @@ MAX_INLINE_RULES = 64
 
 def filter_allowed(frontier: DataFrame,
                    rules: Dict[str, Tuple[float, List[str]]],
-                   url_col: str = "url", host_col: str = "host"
-                   ) -> DataFrame:
+                   url_col: str = "url", host_col: str = "host",
+                   invert: bool = False) -> DataFrame:
     """Drop rows whose URL path starts with a disallowed prefix for its
-    host; hosts without rules are allow-all.
+    host; hosts without rules are allow-all. ``invert=True`` returns the
+    DISALLOWED rows instead (the epoch tombstones them so a blocked row is
+    consumed once, not re-dropped every epoch forever).
 
     Small rule maps inline as a Column expression (whole-stage codegen, no
     join). Large maps — the web-scale shape, millions of hosts — become a
-    broadcast LEFT ANTI join against the exploded (host, prefix) rules:
-    one broadcast, no expression-tree blowup."""
+    broadcast LEFT ANTI (or LEFT SEMI when inverted) join against the
+    exploded (host, prefix) rules: one broadcast, no expression-tree
+    blowup."""
     pairs = [(h, p) for h, (_d, ps) in rules.items() for p in ps]
     if not pairs:
-        return frontier
+        return frontier.limit(0) if invert else frontier
     path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]+", "")
     if len(pairs) <= MAX_INLINE_RULES:
         # null-safe equality: (host == h) is NULL for null hosts, and NULL
@@ -141,14 +144,14 @@ def filter_allowed(frontier: DataFrame,
         for host, p in pairs:
             cond = cond & ~(F.coalesce(F.col(host_col) == host, F.lit(False))
                             & path.startswith(p))
-        return frontier.filter(cond)
+        return frontier.filter(~cond if invert else cond)
     spark = frontier.sparkSession
     rules_df = spark.createDataFrame(pairs, schema="__r_host string, __r_prefix string")
     return (frontier.withColumn("__path", path)
             .join(F.broadcast(rules_df),
                   (F.col(host_col) == F.col("__r_host")) &
                   F.col("__path").startswith(F.col("__r_prefix")),
-                  "left_anti")
+                  "left_semi" if invert else "left_anti")
             .drop("__path"))
 
 

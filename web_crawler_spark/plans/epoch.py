@@ -6,9 +6,11 @@ One epoch is one DataFrame program (SURVEY.md §7, milestone M1-M4):
         ▲                            └─ article rows ──seen-filter──fetch──┤
         │                                               join──parse UDF────┤
         │                                                                  ▼
-    frontier' = (unprocessed ∪ discovered ∪ requeued)      articles.append()
-                                                           metrics.append()
-                                                           checkpoints.append()
+    frontier Δ-commit (merge-on-read):                     articles.append()
+      adds  = discovered ∪ requeued                        metrics.append()
+      dels  = scheduled ∪ robots-dropped (equality keys)   checkpoints.append()
+    unscheduled rows are never rewritten — per-epoch write
+    cost is O(rows touched), not O(frontier)
 
 Reference lifecycle being reproduced (SURVEY.md §3.1): get_article_urls →
 per-URL parse_article → date filter → batched sink, one source at a time
@@ -41,7 +43,7 @@ from pyspark.sql import functions as F
 from ..functions import canonicalize as canon
 from ..functions import extract as ex
 from ..operators import dedup, politeness
-from ..sources.tables import LakeTable
+from ..sources.tables import DeltaFrontier, LakeTable
 
 FRONTIER_DDL = ("url string, host string, kind string, parser_class string, "
                 "source_id bigint, priority int, discovered_seq bigint, "
@@ -108,6 +110,11 @@ class CrawlConfig:
     #: built via operators.robots.collect_rules; delays merged into
     #: host_delays at engine init, prefixes filter the frontier each epoch
     robots_rules: Dict[str, tuple] = field(default_factory=dict)
+    #: above this many bloom bytes the seen-filter probe switches from
+    #: broadcast (every worker gets the whole filter) to the shard-aligned
+    #: cogroup plan (each task gets ONE shard) — at 10^10 URLs the filter
+    #: is ~12 GB and only the sharded plan survives. 0 forces sharded.
+    bloom_broadcast_max_bytes: int = 64 << 20
 
 
 class CrawlEngine:
@@ -116,7 +123,8 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.pages = pages
-        self.frontier = LakeTable(os.path.join(workdir, "frontier"), FRONTIER_DDL)
+        self.frontier = DeltaFrontier(os.path.join(workdir, "frontier"),
+                                      FRONTIER_DDL)
         self.articles = LakeTable(os.path.join(workdir, "articles"), ARTICLES_DDL)
         self.metrics = LakeTable(os.path.join(workdir, "metrics"), METRICS_DDL)
         self.checkpoints = LakeTable(os.path.join(workdir, "checkpoints"),
@@ -221,10 +229,15 @@ class CrawlEngine:
 
         # 0) robots gate: disallowed paths never reach the scheduler. The
         #    drop count is audited per epoch (skipped_robots metric) — one
-        #    extra count action, only when robots rules are configured.
+        #    extra count action, only when robots rules are configured. The
+        #    dropped rows are tombstoned below so a blocked row is consumed
+        #    once, not re-dropped every epoch forever.
         n_robots_dropped = 0
+        robots_dropped = None
         if self.cfg.robots_rules:
             from ..operators import robots
+            robots_dropped = robots.filter_allowed(
+                frontier, self.cfg.robots_rules, invert=True)
             frontier = robots.filter_allowed(frontier, self.cfg.robots_rules)
             n_robots_dropped = frontier_in - frontier.count()
 
@@ -237,23 +250,18 @@ class CrawlEngine:
             approx_rows=frontier_in - n_robots_dropped)
         sched = sched.localCheckpoint(eager=True)  # cut lineage per epoch
         _mark("sched_ckpt")
-        # leftover = frontier rows the budget did NOT schedule. When nothing
-        # was truncated (the common drained-tail/uniform case) the anti-join
-        # is a full frontier-sized shuffle computing an empty set — one
-        # cheap agg on the checkpointed schedule skips it (total and
-        # article counts folded into the same job).
+        # Rows the budget did NOT schedule simply STAY in the frontier —
+        # the merge-on-read delta commit below never touches them (round-3
+        # verdict Next #3: the old design materialized `leftover` via a
+        # frontier-sized anti-join and rewrote the whole table each epoch).
+        # One cheap agg on the checkpointed schedule gives the consumed
+        # counts (total and article counts folded into the same job).
         sc = sched.agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("kind") == "article", 1).otherwise(0))
             .alias("na")).first()
         n_sched_total = sc["n"]
         n_sched_arts = sc["na"] or 0
-        if n_sched_total == frontier_in - n_robots_dropped:
-            leftover = frontier.limit(0)
-        else:
-            taken_keys = sched.select("url", "discovered_seq")
-            leftover = frontier.join(taken_keys, ["url", "discovered_seq"],
-                                     "left_anti")
 
         # 2) global seen-filter for article rows (bloom + exact anti-join)
         arts = sched.filter(F.col("kind") == "article")
@@ -261,7 +269,11 @@ class CrawlEngine:
         seen_df = None if self.articles.is_empty() \
             else self.articles.read(self.spark)
         _mark("sched_count")
-        fresh = dedup.seen_filter(arts, seen_df, self._seen_bloom(), "url")
+        bloom = self._seen_bloom()
+        fresh = dedup.seen_filter(
+            arts, seen_df, bloom, "url",
+            shard_aligned=(bloom is not None and
+                           bloom.total_bytes() > cfg.bloom_broadcast_max_bytes))
 
         # 3) in-epoch order-preserving dedup (D1): first discovery wins
         fresh = dedup.first_occurrence(fresh, key="url",
@@ -443,9 +455,9 @@ class CrawlEngine:
         _mark("metrics_write")
 
         # Commit order is the crash-safety contract:
-        #   stage new frontier (old frontier still committed)
+        #   stage the frontier delta (old snapshot still committed)
         #   -> pipeline checkpoint commit (epoch is now "done")
-        #   -> frontier manifest swap.
+        #   -> ONE atomic frontier manifest swap publishing adds+deletes.
         # Crash before the checkpoint: replay of epoch N sees the ORIGINAL
         # frontier — replace=True appends rewrite identical output.
         # Crash between checkpoint and frontier swap: restart begins at N+1
@@ -453,18 +465,40 @@ class CrawlEngine:
         # seen-filtered, so the result is wasted work, never loss or dups.
         # (The previous order — frontier first — let a replay run epoch N
         # against the ADVANCED frontier and destroy epoch N's articles.)
-        new_frontier = leftover.unionByName(discovered).unionByName(
-            requeued.select(*leftover.columns))
-        staged = self.frontier.stage_overwrite(new_frontier, epoch + 1)
-        # parquet count() is footer-metadata only — no data re-read
-        n_front_out = self.spark.read.parquet(staged).count()
+        #
+        # Incremental maintenance (merge-on-read, Iceberg-v2 shape): the
+        # epoch writes ONLY its delta — discovered+requeued rows as an add
+        # file, consumed keys (scheduled + robots-dropped) as equality-
+        # delete tombstones. Unscheduled rows are never rewritten, so the
+        # per-epoch write cost is O(rows touched), not O(frontier) — at a
+        # 10^10-row frontier with a budget-bounded epoch that is the
+        # difference between rewriting terabytes and writing megabytes.
+        adds = discovered.unionByName(requeued.select(*FRONTIER_COLS))
+        dels = sched.select("url", "discovered_seq", "retries")
+        if robots_dropped is not None:
+            dels = dels.unionByName(
+                robots_dropped.select("url", "discovered_seq", "retries"))
+        staged = self.frontier.stage_delta(adds, dels, epoch + 1)
+        n_adds = staged["add"]["rows"]
+        # live-row arithmetic (no frontier-sized count job): every scheduled
+        # and robots-dropped row leaves, every add enters. Exotic replay
+        # states (duplicate keys split by budget truncation) can overcount;
+        # the zero-progress guard below recounts exactly in that case.
+        n_front_out = frontier_in - n_robots_dropped - n_sched_total + n_adds
+        if n_front_out > 0 and n_sched_total == 0 and n_adds == 0:
+            n_front_out = self.frontier.read(self.spark).count()
         _mark("frontier_stage")
         self._frontier_rows = n_front_out
         self.checkpoints.append(
             self.spark.createDataFrame(
                 [(epoch, float(epoch), frontier_in, n_front_out, n_parsed)],
                 schema=CHECKPOINT_DDL), epoch)
-        self.frontier.commit_staged_overwrite(epoch + 1)
+        self.frontier.commit_delta(epoch + 1, staged)
+        # maintenance: once tombstones outgrow compact_ratio of the add
+        # rows, fold the delta state into one clean snapshot (bounds the
+        # read-side anti-join). Crash-safe — old snapshot stays committed
+        # until the rewrite's manifest swap.
+        self.frontier.maybe_compact(self.spark, epoch + 1)
         _mark("frontier_commit")
 
         # S13 — last_crawled per source (database.py:134-146, applied after

@@ -189,3 +189,179 @@ class LakeTable:
 
     def is_empty(self) -> bool:
         return not self.committed_epochs()
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+class DeltaFrontier:
+    """Merge-on-read frontier table — Iceberg v2 equality-delete semantics.
+
+    Round-3 verdict "Next #3": the frontier was fully rewritten every epoch;
+    at the north rule's 10^10-URL frontier that rewrite is the dominant
+    per-epoch write (an epoch consumes a budget-bounded slice — often <1%
+    of rows — yet paid O(frontier) bytes). This table makes the per-epoch
+    write cost proportional to the rows the epoch actually touched:
+
+      frontier/
+        _manifest.json     {"adds": {"1": {"rows": r, "bytes": b}}, "dels": {...}}
+        add=E/part-*.parquet   rows added by snapshot E (discovered+requeued)
+        del=E/part-*.parquet   equality-delete keys written by snapshot E
+
+    * A delete row carries (url, discovered_seq, retries, __del_epoch) and
+      kills every add row with the same key whose epoch_added <= __del_epoch
+      — Iceberg's sequence-number rule, so an epoch's own adds (requeued
+      rows differ in `retries`, discoveries in `epoch_added`) are never
+      shadowed by that epoch's deletes.
+    * read() = union(adds) LEFT ANTI join union(dels); the delete side is
+      broadcast while small (manifest row counts make the decision without
+      a job). On Iceberg this whole class is `MERGE INTO` + v2 position/
+      equality deletes; the call sites are isolated here on purpose.
+    * stage_delta()/commit_delta(): both dirs are staged while the old
+      manifest stays committed, then ONE atomic manifest replace publishes
+      adds and deletes together — a crash at any point leaves either the
+      complete old snapshot or the complete new one, never half.
+    * compact(): when the delete set outgrows `compact_ratio` of the add
+      rows, materialize the live view and rewrite it as a single add —
+      Iceberg's rewrite_data_files maintenance action. Bounds the read-side
+      anti-join permanently.
+    """
+
+    KEY = ["url", "discovered_seq", "retries"]
+    #: broadcast the delete side under this many rows (~48 B/key row)
+    BROADCAST_DELS_MAX = 4_000_000
+
+    def __init__(self, path: str, schema_ddl: Optional[str] = None,
+                 compact_ratio: float = 0.3):
+        self.path = path
+        self.schema_ddl = schema_ddl
+        self.compact_ratio = compact_ratio
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def _manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"adds": {}, "dels": {}}
+
+    def _write_manifest(self, man: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path)    # atomic snapshot commit
+
+    def is_empty(self) -> bool:
+        return not self._manifest()["adds"]
+
+    def stats(self) -> dict:
+        """Committed row/byte totals from the manifest — no Spark job."""
+        man = self._manifest()
+        return {
+            "add_rows": sum(m["rows"] for m in man["adds"].values()),
+            "add_bytes": sum(m["bytes"] for m in man["adds"].values()),
+            "del_rows": sum(m["rows"] for m in man["dels"].values()),
+            "del_bytes": sum(m["bytes"] for m in man["dels"].values()),
+            "snapshots": len(man["adds"]),
+        }
+
+    # -- io ------------------------------------------------------------------
+    def _dir(self, kind: str, epoch: int) -> str:
+        return os.path.join(self.path, f"{kind}={epoch}")
+
+    def _stage(self, df: DataFrame, kind: str, epoch: int) -> dict:
+        staging = self._dir(kind, epoch) + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        df.write.mode("overwrite").parquet(staging)
+        # parquet footer count — metadata read, no data scan
+        rows = df.sparkSession.read.parquet(staging).count()
+        return {"staging": staging, "rows": rows,
+                "bytes": _dir_bytes(staging)}
+
+    def stage_delta(self, adds: DataFrame, dels: DataFrame,
+                    epoch: int) -> dict:
+        """Write both delta dirs while the old snapshot stays committed.
+        `dels` must have columns KEY; __del_epoch is stamped here as
+        epoch-1 (deletes target rows that existed when the epoch began)."""
+        from pyspark.sql import functions as F
+        d = dels.select(*self.KEY).withColumn(
+            "__del_epoch", F.lit(epoch - 1).cast("int"))
+        return {"add": self._stage(adds, "add", epoch),
+                "del": self._stage(d, "del", epoch)}
+
+    def commit_delta(self, epoch: int, staged: dict) -> None:
+        man = self._manifest()
+        for kind in ("add", "del"):
+            final = self._dir(kind, epoch)
+            if os.path.exists(final):
+                shutil.rmtree(final)            # orphan from a crash — redo
+            if staged[kind]["rows"]:
+                os.replace(staged[kind]["staging"], final)
+                man[kind + "s"][str(epoch)] = {
+                    "rows": staged[kind]["rows"],
+                    "bytes": staged[kind]["bytes"]}
+            else:                               # empty delta — skip entirely
+                shutil.rmtree(staged[kind]["staging"], ignore_errors=True)
+        self._write_manifest(man)               # ONE atomic commit for both
+
+    def overwrite(self, df: DataFrame, epoch: int) -> None:
+        """Full rewrite as a single add snapshot (bootstrap / compaction /
+        explicit state restore). Two-phase like LakeTable.overwrite: the old
+        snapshot stays committed until the manifest swap."""
+        staged = self._stage(df, "add", epoch)
+        man = self._manifest()
+        old = ([self._dir("add", int(e)) for e in man["adds"]] +
+               [self._dir("del", int(e)) for e in man["dels"]])
+        final = self._dir("add", epoch)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staged["staging"], final)
+        self._write_manifest({"adds": {str(epoch): {
+            "rows": staged["rows"], "bytes": staged["bytes"]}}, "dels": {}})
+        for o in old:
+            if os.path.abspath(o) != os.path.abspath(final):
+                shutil.rmtree(o, ignore_errors=True)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+        man = self._manifest()
+        add_dirs = [self._dir("add", int(e)) for e in man["adds"]]
+        add_dirs = [d for d in add_dirs if os.path.exists(d)]
+        if not add_dirs:
+            return spark.createDataFrame([], schema=self.schema_ddl)
+        base = spark.read.parquet(*add_dirs)
+        del_dirs = [self._dir("del", int(e)) for e in man["dels"]]
+        del_dirs = [d for d in del_dirs if os.path.exists(d)]
+        if not del_dirs:
+            return base
+        dels = spark.read.parquet(*del_dirs)
+        n_dels = sum(m["rows"] for m in man["dels"].values())
+        if n_dels <= self.BROADCAST_DELS_MAX:
+            dels = F.broadcast(dels)
+        cond = [base[k] == dels[k] for k in self.KEY]
+        cond.append(base["epoch_added"] <= dels["__del_epoch"])
+        return base.join(dels, cond, "left_anti")
+
+    def maybe_compact(self, spark: SparkSession, epoch: int) -> bool:
+        """Rewrite to a clean single-add snapshot when the delete set
+        exceeds compact_ratio of the add rows. Crash-safe: a crash mid-
+        compaction leaves the old snapshot committed."""
+        s = self.stats()
+        if s["add_rows"] == 0 or s["del_rows"] <= self.compact_ratio * s["add_rows"]:
+            return False
+        self.overwrite(self.read(spark), epoch)
+        return True
