@@ -1,0 +1,86 @@
+"""Shard-aligned bloom probing (round-3 verdict Next #4).
+
+The broadcast probe ships the whole filter to every python worker — fine
+locally, fatal at the 10^10-URL / ~12 GB scale. The cogroup plan
+repartitions candidates by pmod(h1, n_shards) and hands each task exactly
+one shard's bit array as DATA. These tests pin (a) value equality with the
+broadcast path, (b) that the serialized probe task excludes the bits, and
+(c) the engine e2e seen-set is unchanged when forced onto the sharded plan.
+"""
+
+from pyspark.sql import functions as F
+
+from web_crawler_spark.operators import dedup
+
+
+def _urls(spark, n, start=0, prefix="https://h/x"):
+    return spark.range(start, start + n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("url"))
+
+
+def test_sharded_probe_matches_broadcast_probe(spark):
+    seen = _urls(spark, 3000)
+    b = dedup.BloomShards.sized_for(3000)
+    b.add_df(seen)
+    cand = _urls(spark, 2000, start=2000)      # 1000 seen, 1000 new
+
+    bh1, bh2 = dedup.bloom_hash_cols(F.col("url"))
+    broadcast = {(r.url, r.f) for r in cand.select(
+        "url", b.might_contain_udf()(bh1, bh2).alias("f")).collect()}
+    sharded = {(r.url, r["__maybe_seen"]) for r in
+               b.flag_maybe_seen(cand).collect()}
+    assert sharded == broadcast
+    # and no false negatives on the genuinely-seen half
+    flagged = dict(sharded)
+    for r in _urls(spark, 1000, start=2000).collect():
+        assert flagged[r.url] is True
+
+
+def test_sharded_probe_closure_is_bitsfree(spark):
+    """The task closure must ship ~KBs no matter how large the filter is:
+    the bits ride the cogrouped (shard, bits) rows, not the function."""
+    import pickle
+
+    b = dedup.BloomShards(n_shards=16, n_bits_per_shard=1 << 22)  # 8 MB total
+    b.add_df(_urls(spark, 1000))
+    assert b.total_bytes() >= 8 << 20
+    fn = dedup._sharded_probe_fn(b.n_bits, b.n_hashes)
+    blob = pickle.dumps((fn.__code__.co_consts,
+                         [c.cell_contents for c in fn.__closure__ or []]))
+    assert len(blob) < 4096, len(blob)
+
+
+def test_seen_filter_sharded_equals_exact(spark):
+    seen = _urls(spark, 5000)
+    b = dedup.BloomShards.sized_for(5000)
+    b.add_df(seen)
+    cand = _urls(spark, 4000, start=3000)
+    exact = {r.url for r in
+             cand.join(seen, "url", "left_anti").collect()}
+    got = {r.url for r in
+           dedup.seen_filter(cand, seen, b, shard_aligned=True).collect()}
+    assert got == exact
+
+
+def test_engine_seen_set_unchanged_on_sharded_plan(spark, tmp_path):
+    """Full-engine equality: force the sharded probe (broadcast cap 0,
+    bloom always on) and compare the stored article url set against the
+    default engine on the same synthetic web."""
+    from web_crawler_spark import html_synth
+    from web_crawler_spark.plans.epoch import CrawlConfig, CrawlEngine
+
+    web = html_synth.synth_web(n_articles=120, n_hosts=4, seed=11)
+    pages = html_synth.pages_df(spark, web, 8)
+    seeds = html_synth.seeds_df(spark, web)
+
+    eng_a = CrawlEngine(spark, str(tmp_path / "a"), pages,
+                        CrawlConfig(bloom_min_articles=0))
+    eng_a.run(seeds, max_epochs=6)
+    eng_b = CrawlEngine(spark, str(tmp_path / "b"), pages,
+                        CrawlConfig(bloom_min_articles=0,
+                                    bloom_broadcast_max_bytes=0))
+    eng_b.run(seeds, max_epochs=6)
+
+    a = {r.url for r in eng_a.articles.read(spark).select("url").collect()}
+    bset = {r.url for r in eng_b.articles.read(spark).select("url").collect()}
+    assert a == bset and len(a) > 0

@@ -119,6 +119,49 @@ class BloomShards:
                 self.bits[row["shard"]] = arr
         return self
 
+    def total_bytes(self) -> int:
+        """Bytes the broadcast probe would ship to EVERY worker — the
+        engine switches to the shard-aligned plan above this size."""
+        return sum(a.nbytes for a in self.bits.values())
+
+    # -- probe (shard-aligned) -------------------------------------------------
+    def bits_df(self, spark) -> DataFrame:
+        """The shard bit arrays as a (shard, bits) DataFrame — the form the
+        shard-aligned probe consumes. At 10^10 URLs this table lives in the
+        lakehouse next to `articles` (built by add_df's applyInPandas stage
+        writing shards instead of collecting); here it ships from the
+        driver-held dict."""
+        return spark.createDataFrame(
+            [(int(s), arr.tobytes()) for s, arr in sorted(self.bits.items())],
+            schema="shard int, bits binary")
+
+    def flag_maybe_seen(self, candidates: DataFrame, url_col: str = "url"
+                        ) -> DataFrame:
+        """Shard-aligned probe (round-3 verdict Next #4): candidates are
+        repartitioned by pmod(h1, n_shards) and COGROUPED with the one
+        (shard, bits) row for their shard — each task materializes exactly
+        one shard's bytes, never the whole filter. The broadcast probe
+        (might_contain_udf) ships every shard to every worker: fine at
+        local scale, but the 10^10-URL filter is ~12 GB and only the
+        shard-aligned plan survives it. Returns the input plus
+        __maybe_seen boolean; equality with the broadcast path is
+        regression-tested."""
+        spark = candidates.sparkSession
+        h1, h2 = bloom_hash_cols(F.col(url_col))
+        cand = (candidates
+                .withColumn("__h1", h1).withColumn("__h2", h2)
+                .withColumn("__shard",
+                            F.pmod(F.col("__h1"), F.lit(self.n_shards))
+                            .cast("int")))
+        out_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in cand.schema
+        ) + ", __maybe_seen boolean"
+        probe = _sharded_probe_fn(self.n_bits, self.n_hashes)
+        flagged = (cand.groupBy("__shard")
+                   .cogroup(self.bits_df(spark).groupBy("shard"))
+                   .applyInPandas(probe, schema=out_ddl))
+        return flagged.drop("__h1", "__h2", "__shard")
+
     # -- probe (broadcast) ----------------------------------------------------
     def might_contain_udf(self):
         """(h1, h2) → bool. Hash columns are computed JVM-side by the caller
@@ -152,22 +195,52 @@ class BloomShards:
         return probe
 
 
+def _sharded_probe_fn(n_bits: int, n_hashes: int):
+    """Cogroup probe body for BloomShards.flag_maybe_seen. Module-level
+    factory ON PURPOSE: its closure carries two ints — the shard's bit
+    array arrives as the cogrouped (shard, bits) row, so the serialized
+    task ships ~KBs however large the filter is (tested by
+    test_sharded_probe_closure_is_bitsfree)."""
+
+    def probe(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf):
+            return cpdf.assign(__maybe_seen=pd.Series([], dtype="bool"))
+        if not len(bpdf):                      # no bits for this shard
+            return cpdf.assign(__maybe_seen=False)
+        arr = np.frombuffer(bpdf["bits"].iloc[0], dtype=np.uint8)
+        h1, h2 = _as_u64(cpdf["__h1"]), _as_u64(cpdf["__h2"])
+        ok = np.ones(len(cpdf), dtype=bool)
+        for i in range(n_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+            ok &= (arr[(idx // 8).astype(np.int64)]
+                   >> (idx % 8).astype(np.uint8)) & 1 == 1
+        return cpdf.assign(__maybe_seen=ok)
+
+    return probe
+
+
 def seen_filter(candidates: DataFrame, seen_df: Optional[DataFrame],
-                bloom: Optional[BloomShards], url_col: str = "url") -> DataFrame:
+                bloom: Optional[BloomShards], url_col: str = "url",
+                shard_aligned: bool = False) -> DataFrame:
     """Return candidate rows whose url is NOT in the seen set.
 
     bloom-negative ⇒ definitely new (no false negatives) — passes without
     join; bloom-positive ⇒ exact left_anti against seen_df. With no bloom,
     falls back to the plain anti-join. seen_df is read with only url_col
-    (column pruning reaches the parquet scan)."""
+    (column pruning reaches the parquet scan). ``shard_aligned=True`` probes
+    via the cogrouped per-shard plan (each task holds ONE shard's bytes)
+    instead of broadcasting the whole filter — the 10^10-URL shape."""
     if seen_df is None:
         return candidates
     seen_urls = seen_df.select(F.col(url_col))
     if bloom is None or not bloom.bits:
         return candidates.join(seen_urls, on=url_col, how="left_anti")
-    probe = bloom.might_contain_udf()
-    h1, h2 = bloom_hash_cols(F.col(url_col))
-    flagged = candidates.withColumn("__maybe_seen", probe(h1, h2))
+    if shard_aligned:
+        flagged = bloom.flag_maybe_seen(candidates, url_col)
+    else:
+        probe = bloom.might_contain_udf()
+        h1, h2 = bloom_hash_cols(F.col(url_col))
+        flagged = candidates.withColumn("__maybe_seen", probe(h1, h2))
     fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspect = (flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
                .join(seen_urls, on=url_col, how="left_anti"))
