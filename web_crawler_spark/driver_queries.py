@@ -642,6 +642,52 @@ def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.langid_col(F.col("text")).alias("lang_pred"))
 
 
+def _langid_ngram_oracle_sql() -> str:
+    """DuckDB restatement of the trigram naive-Bayes scorer over the SAME
+    committed model parquet. Scores are exact BIGINT sums of micro-log-prob
+    weights on both sides — no float summation order anywhere — so the
+    argmax (ORDER BY score DESC, lang DESC == Spark's max(struct)) can
+    never diverge by platform."""
+    path = T.langid_model_path()
+    return f"""
+    WITH model AS (SELECT lang, tri, w FROM read_parquet('{path}')),
+    unk AS (SELECT lang, w AS unk_w FROM model WHERE tri = ''),
+    m AS (SELECT lang, tri, w FROM model WHERE tri <> ''),
+    norm AS (SELECT doc_id,
+                    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+             FROM documents),
+    nt AS (SELECT doc_id, greatest(length(t) - 2, 0) AS n_tris FROM norm),
+    tris AS (SELECT doc_id,
+                    unnest(list_transform(
+                        range(1, greatest(length(t) - 2, 0) + 1),
+                        i -> substr(t, CAST(i AS INT), 3))) AS tri
+             FROM norm),
+    matched AS (SELECT doc_id, lang, sum(w) AS w_sum, count(*) AS cnt
+                FROM tris JOIN m USING (tri) GROUP BY 1, 2),
+    scored AS (SELECT nt.doc_id, u.lang, nt.n_tris,
+                      coalesce(ma.w_sum, 0) +
+                      (nt.n_tris - coalesce(ma.cnt, 0)) * u.unk_w AS score
+               FROM nt CROSS JOIN unk u
+               LEFT JOIN matched ma
+                 ON ma.doc_id = nt.doc_id AND ma.lang = u.lang)
+    SELECT doc_id,
+           CASE WHEN n_tris > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM (SELECT doc_id, lang, n_tris,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, lang DESC) AS rn
+          FROM scored) WHERE rn = 1"""
+
+
+@_q("langid_ngram", _langid_ngram_oracle_sql())
+def langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram naive-Bayes language ID against the committed model
+    table (web_crawler_spark/data/langid_trigrams_v1.parquet, trained by
+    tools/gen_langid_trigrams.py) — the production langid; the stopword
+    heuristic above stays as the cheap pre-filter."""
+    model = spark.read.parquet(T.langid_model_path())
+    return T.langid_ngram_df(_t(spark, sf_dir, "documents"), model)
+
+
 @_q("ann_cosine_topk", """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 5),
