@@ -1094,6 +1094,41 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.stream_windowed_counts(spark, ev, window="1 day")
 
 
+@_q("stream_politeness", """
+    WITH req AS (SELECT 'h' || CAST(event_id % 7 AS VARCHAR) AS host,
+                        'u' || CAST(event_id AS VARCHAR) AS url,
+                        CAST(floor(epoch(ts)) AS DOUBLE) AS req_ts
+                 FROM events WHERE event_id < 2000),
+    r AS (SELECT host, url, req_ts,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY req_ts, url) AS rn
+          FROM req)
+    SELECT host, url,
+           round(max(req_ts - 1.0 * rn) OVER (PARTITION BY host ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING) + 1.0 * rn, 6) AS sched_ts
+    FROM r""")
+def stream_politeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-host
+    politeness scheduling where the token-bucket clock is GroupState carried
+    across micro-batches. Value-checked end-to-end: with constant delay d
+    the bucket recurrence s_i = max(t_i, s_{i-1}+d) has the closed form
+    max_{j<=i}(t_j - d*j) + d*i over the per-host (req_ts, url) order, which
+    the oracle states as a plain running-max window — streaming state,
+    batch-SQL-checkable."""
+    from .streaming import stateful
+    req = (_t(spark, sf_dir, "events")
+           .filter(F.col("event_id") < 2000)
+           .select(
+               F.concat(F.lit("h"), F.pmod(F.col("event_id"), F.lit(7))
+                        .cast("string")).alias("host"),
+               F.concat(F.lit("u"), F.col("event_id").cast("string"))
+               .alias("url"),
+               F.unix_timestamp("ts").cast("double").alias("req_ts")))
+    out = stateful.stream_politeness_schedule(spark, req, delay=1.0)
+    return out.select("host", "url",
+                      F.round("sched_ts", 6).alias("sched_ts"))
+
+
 _CRAWL_CACHE: Dict[tuple, DataFrame] = {}
 
 
