@@ -84,3 +84,34 @@ def test_engine_seen_set_unchanged_on_sharded_plan(spark, tmp_path):
     a = {r.url for r in eng_a.articles.read(spark).select("url").collect()}
     bset = {r.url for r in eng_b.articles.read(spark).select("url").collect()}
     assert a == bset and len(a) > 0
+
+
+def test_seen_shards_table_roundtrip_and_or_merge(spark, tmp_path):
+    """The fully driver-free path (SURVEY §6 `seen_shards` table):
+    build_bits_df (distributed) → parquet per epoch → union + or_merge →
+    flag_maybe_seen(bits=...) — the filter bytes never visit the driver —
+    must equal the driver-dict probe over the union of both epochs."""
+    b = dedup.BloomShards.sized_for(4000)
+    epoch0, epoch1 = _urls(spark, 2000), _urls(spark, 2000, start=2000)
+    p0, p1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    b.build_bits_df(epoch0).write.parquet(p0)
+    b.build_bits_df(epoch1).write.parquet(p1)
+    merged = dedup.BloomShards.or_merge_bits(
+        spark.read.parquet(p0).unionByName(spark.read.parquet(p1)))
+    assert merged.count() <= b.n_shards   # one row per shard after merge
+
+    cand = _urls(spark, 3000, start=3000)  # 1000 seen, 2000 new
+    table_path = {(r.url, r["__maybe_seen"]) for r in
+                  b.flag_maybe_seen(cand, bits=merged).collect()}
+
+    ref = dedup.BloomShards(n_shards=b.n_shards, n_bits_per_shard=b.n_bits,
+                            n_hashes=b.n_hashes)
+    ref.add_df(epoch0.unionByName(epoch1))
+    bh1, bh2 = dedup.bloom_hash_cols(F.col("url"))
+    dict_path = {(r.url, r.f) for r in cand.select(
+        "url", ref.might_contain_udf()(bh1, bh2).alias("f")).collect()}
+    assert table_path == dict_path
+    # no false negatives on the seen slice
+    flags = dict(table_path)
+    for r in _urls(spark, 1000, start=3000).collect():
+        assert flags[r.url] is True

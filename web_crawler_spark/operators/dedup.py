@@ -87,10 +87,13 @@ class BloomShards:
         return cls(n_shards=n_shards, n_bits_per_shard=m, n_hashes=min(k, 12))
 
     # -- build (distributed) -------------------------------------------------
-    def add_df(self, df: DataFrame, url_col: str = "url") -> "BloomShards":
-        """Hashing is entirely JVM-side (bloom_hash_cols): the applyInPandas
-        stage receives precomputed (h1, h2) and only ORs bits — a vectorized
-        numpy pass, no per-row Python anywhere in the build."""
+    def build_bits_df(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Distributed shard build as a (shard, bits) DataFrame — no driver
+        materialization. Hashing is entirely JVM-side (bloom_hash_cols):
+        the applyInPandas stage receives precomputed (h1, h2) and only ORs
+        bits — a vectorized numpy pass, no per-row Python anywhere. At
+        10^10 URLs this is the stage whose output lands in the persisted
+        `seen_shards` lakehouse table (SURVEY §6) instead of the driver."""
         n_bits, n_hashes = self.n_bits, self.n_hashes
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -104,14 +107,36 @@ class BloomShards:
             return pd.DataFrame({"shard": [shard], "bits": [arr.tobytes()]})
 
         h1, h2 = bloom_hash_cols(F.col(url_col))
-        built = (df.select(h1.alias("__h1"), h2.alias("__h2"))
-                 .withColumn("__shard",
-                             F.pmod(F.col("__h1"), F.lit(self.n_shards))
-                             .cast("int"))
-                 .groupBy("__shard")
-                 .applyInPandas(build, schema="shard int, bits binary")
-                 .collect())
-        for row in built:
+        return (df.select(h1.alias("__h1"), h2.alias("__h2"))
+                .withColumn("__shard",
+                            F.pmod(F.col("__h1"), F.lit(self.n_shards))
+                            .cast("int"))
+                .groupBy("__shard")
+                .applyInPandas(build, schema="shard int, bits binary"))
+
+    @staticmethod
+    def or_merge_bits(shards: DataFrame) -> DataFrame:
+        """OR-combine multiple (shard, bits) rows per shard into one —
+        the incremental cross-epoch merge, executed where the shards live
+        (one exchange keyed on shard; the union of epoch shard tables never
+        visits the driver). Empty-bits rows are tolerated."""
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = None
+            for b in pdf["bits"]:
+                a = np.frombuffer(b, dtype=np.uint8)
+                acc = a.copy() if acc is None else acc | a
+            return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
+                                 "bits": [acc.tobytes()]})
+
+        return (shards.groupBy("shard")
+                .applyInPandas(merge, schema="shard int, bits binary"))
+
+    def add_df(self, df: DataFrame, url_col: str = "url") -> "BloomShards":
+        """Build shards distributed, then fold into the driver-held dict
+        (the broadcast-probe form used at local scale). The driver-free
+        variant is build_bits_df → seen-shards table → flag_maybe_seen."""
+        for row in self.build_bits_df(df, url_col).collect():
             arr = np.frombuffer(row["bits"], dtype=np.uint8).copy()
             if row["shard"] in self.bits:
                 self.bits[row["shard"]] |= arr
@@ -135,8 +160,8 @@ class BloomShards:
             [(int(s), arr.tobytes()) for s, arr in sorted(self.bits.items())],
             schema="shard int, bits binary")
 
-    def flag_maybe_seen(self, candidates: DataFrame, url_col: str = "url"
-                        ) -> DataFrame:
+    def flag_maybe_seen(self, candidates: DataFrame, url_col: str = "url",
+                        bits: "Optional[DataFrame]" = None) -> DataFrame:
         """Shard-aligned probe (round-3 verdict Next #4): candidates are
         repartitioned by pmod(h1, n_shards) and COGROUPED with the one
         (shard, bits) row for their shard — each task materializes exactly
@@ -145,7 +170,12 @@ class BloomShards:
         local scale, but the 10^10-URL filter is ~12 GB and only the
         shard-aligned plan survives it. Returns the input plus
         __maybe_seen boolean; equality with the broadcast path is
-        regression-tested."""
+        regression-tested.
+
+        ``bits`` overrides the driver-held dict with an external
+        (shard, bits) DataFrame — the persisted `seen_shards` lakehouse
+        table (SURVEY §6): build_bits_df → table → probe, with the filter
+        bytes never visiting the driver at any point."""
         spark = candidates.sparkSession
         h1, h2 = bloom_hash_cols(F.col(url_col))
         cand = (candidates
@@ -158,7 +188,8 @@ class BloomShards:
         ) + ", __maybe_seen boolean"
         probe = _sharded_probe_fn(self.n_bits, self.n_hashes)
         flagged = (cand.groupBy("__shard")
-                   .cogroup(self.bits_df(spark).groupBy("shard"))
+                   .cogroup((bits if bits is not None
+                             else self.bits_df(spark)).groupBy("shard"))
                    .applyInPandas(probe, schema=out_ddl))
         return flagged.drop("__h1", "__h2", "__shard")
 
