@@ -115,3 +115,20 @@ def test_seen_shards_table_roundtrip_and_or_merge(spark, tmp_path):
     flags = dict(table_path)
     for r in _urls(spark, 1000, start=3000).collect():
         assert flags[r.url] is True
+
+
+def test_sharded_probe_ors_unmerged_epoch_tables(spark, tmp_path):
+    """code-review round 4: a multi-epoch seen_shards table that was NOT
+    or_merged has several (shard, bits) rows per shard — the probe must OR
+    them all; reading only the first row would produce bloom false
+    negatives, the one failure mode the two-stage seen filter can't absorb."""
+    b = dedup.BloomShards.sized_for(4000)
+    e0, e1 = _urls(spark, 2000), _urls(spark, 2000, start=2000)
+    p0, p1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    b.build_bits_df(e0).write.parquet(p0)
+    b.build_bits_df(e1).write.parquet(p1)
+    unmerged = spark.read.parquet(p0).unionByName(spark.read.parquet(p1))
+    flags = {r.url: r["__maybe_seen"] for r in
+             b.flag_maybe_seen(_urls(spark, 4000), bits=unmerged).collect()}
+    assert all(flags[r.url] for r in e0.collect())   # no false negatives
+    assert all(flags[r.url] for r in e1.collect())

@@ -109,3 +109,36 @@ def test_epoch_writes_delta_not_frontier(spark, tmp_path):
                   if not d.startswith("_"))
     assert dirs == ["add=0", "del=1"]
     assert _dir_bytes(os.path.join(eng.frontier.path, "add=0")) == base_bytes
+
+
+def test_fresh_dir_allocation_never_reuses_committed_names(spark, tmp_path):
+    """Crash-safety invariant behind compaction-after-commit (code-review
+    round 4): a new snapshot must never target a directory the manifest
+    already references — otherwise the rewrite would rmtree committed data
+    BEFORE the manifest swap and a crash in between loses the epoch."""
+    t = DeltaFrontier(str(tmp_path / "f"), DDL)
+    t.overwrite(_rows(spark, 10), epoch=0)
+    staged = t.stage_delta(_rows(spark, 3, epoch_added=1, start=50),
+                           _rows(spark, 2).select("url", "discovered_seq",
+                                                  "retries"), epoch=1)
+    t.commit_delta(1, staged)
+    assert t._alloc_dir("add", 1) != "add=1"       # committed name skipped
+    before = {(r.url, r.epoch_added) for r in t.read(spark).collect()}
+    # compaction with the SAME tag as the just-committed delta (the engine's
+    # exact call pattern) must land in a fresh dir and preserve the view
+    t.overwrite(t.read(spark), epoch=1)
+    after = {(r.url, r.epoch_added) for r in t.read(spark).collect()}
+    assert after == before and len(after) == 11
+    s = t.stats()
+    assert s["snapshots"] == 1 and s["del_rows"] == 0
+
+
+def test_read_fails_loud_on_missing_committed_dir(spark, tmp_path):
+    import pytest as _pytest
+    import shutil as _shutil
+    t = DeltaFrontier(str(tmp_path / "f"), DDL)
+    t.overwrite(_rows(spark, 5), epoch=0)
+    name = list(t._manifest()["adds"])[0]
+    _shutil.rmtree(os.path.join(t.path, name))
+    with _pytest.raises(FileNotFoundError, match="corrupt"):
+        t.read(spark)

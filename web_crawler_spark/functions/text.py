@@ -126,8 +126,14 @@ def langid_ngram_df(df: DataFrame, model: DataFrame, text_col: str = "text",
     matched = (tris.join(F.broadcast(m), "tri")
                .groupBy(id_col, "lang")
                .agg(F.sum("w").alias("w_sum"), F.count("*").alias("cnt")))
+    # n_tris arithmetically (greatest(len-2, 0) == size of the trigram
+    # array, and exactly the oracle's nt CTE): this branch then never
+    # builds the trigram ARRAY — only the explode branch pays transform+
+    # substr over the text
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     base = (df.select(id_col,
-                      F.size(trigrams_col(F.col(text_col))).alias("n_tris"))
+                      F.greatest(F.length(norm) - F.lit(2), F.lit(0))
+                      .alias("n_tris"))
             .crossJoin(F.broadcast(unk)))
     scored = (base.join(matched, [id_col, "lang"], "left")
               .withColumn("score",

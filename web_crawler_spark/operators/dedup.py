@@ -124,8 +124,13 @@ class BloomShards:
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
             acc = None
             for b in pdf["bits"]:
+                if b is None or not len(b):    # tolerate empty-bits rows
+                    continue
                 a = np.frombuffer(b, dtype=np.uint8)
                 acc = a.copy() if acc is None else acc | a
+            if acc is None:                    # nothing real for this shard
+                return pd.DataFrame({"shard": pd.Series([], dtype="int32"),
+                                     "bits": pd.Series([], dtype=object)})
             return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])],
                                  "bits": [acc.tobytes()]})
 
@@ -238,7 +243,18 @@ def _sharded_probe_fn(n_bits: int, n_hashes: int):
             return cpdf.assign(__maybe_seen=pd.Series([], dtype="bool"))
         if not len(bpdf):                      # no bits for this shard
             return cpdf.assign(__maybe_seen=False)
-        arr = np.frombuffer(bpdf["bits"].iloc[0], dtype=np.uint8)
+        # OR every row for this shard: an un-merged multi-epoch seen_shards
+        # table has one row per epoch, and missing any of them would create
+        # bloom FALSE NEGATIVES — the one failure mode the two-stage seen
+        # filter cannot tolerate (bloom-negative skips the exact anti-join)
+        arr = None
+        for b in bpdf["bits"]:
+            if b is None or not len(b):
+                continue
+            a = np.frombuffer(b, dtype=np.uint8)
+            arr = a.copy() if arr is None else arr | a
+        if arr is None:
+            return cpdf.assign(__maybe_seen=False)
         h1, h2 = _as_u64(cpdf["__h1"]), _as_u64(cpdf["__h2"])
         ok = np.ones(len(cpdf), dtype=bool)
         for i in range(n_hashes):

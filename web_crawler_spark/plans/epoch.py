@@ -486,7 +486,11 @@ class CrawlEngine:
         # the zero-progress guard below recounts exactly in that case.
         n_front_out = frontier_in - n_robots_dropped - n_sched_total + n_adds
         if n_front_out > 0 and n_sched_total == 0 and n_adds == 0:
-            n_front_out = self.frontier.read(self.spark).count()
+            # the recount runs pre-commit, so it still sees the rows this
+            # epoch's STAGED tombstones will remove — in this branch exactly
+            # the robots-dropped ones (nothing was scheduled)
+            n_front_out = (self.frontier.read(self.spark).count()
+                           - n_robots_dropped)
         _mark("frontier_stage")
         self._frontier_rows = n_front_out
         self.checkpoints.append(

@@ -279,17 +279,32 @@ class DeltaFrontier:
         }
 
     # -- io ------------------------------------------------------------------
-    def _dir(self, kind: str, epoch: int) -> str:
-        return os.path.join(self.path, f"{kind}={epoch}")
+    # The manifest keys are DIRECTORY NAMES, not epoch numbers, and a new
+    # snapshot always gets a directory that is neither manifest-listed nor
+    # on disk. Committed data is therefore NEVER rmtree'd ahead of a
+    # manifest swap — the crash hazard a fixed epoch→dir mapping had when a
+    # tag was reused (e.g. compaction right after commit_delta of the same
+    # epoch): deleting add=<E> before the swap lost the epoch's rows if the
+    # process died in between.
 
-    def _stage(self, df: DataFrame, kind: str, epoch: int) -> dict:
-        staging = self._dir(kind, epoch) + ".staging"
+    def _alloc_dir(self, kind: str, tag: int) -> str:
+        man = self._manifest()
+        used = set(man["adds"]) | set(man["dels"])
+        name = f"{kind}={tag}"
+        i = 0
+        while name in used or os.path.exists(os.path.join(self.path, name)):
+            name = f"{kind}={tag}.{i}"
+            i += 1
+        return name
+
+    def _stage(self, df: DataFrame, name: str) -> dict:
+        staging = os.path.join(self.path, name + ".staging")
         if os.path.exists(staging):
             shutil.rmtree(staging)
         df.write.mode("overwrite").parquet(staging)
         # parquet footer count — metadata read, no data scan
         rows = df.sparkSession.read.parquet(staging).count()
-        return {"staging": staging, "rows": rows,
+        return {"name": name, "staging": staging, "rows": rows,
                 "bytes": _dir_bytes(staging)}
 
     def stage_delta(self, adds: DataFrame, dels: DataFrame,
@@ -300,18 +315,16 @@ class DeltaFrontier:
         from pyspark.sql import functions as F
         d = dels.select(*self.KEY).withColumn(
             "__del_epoch", F.lit(epoch - 1).cast("int"))
-        return {"add": self._stage(adds, "add", epoch),
-                "del": self._stage(d, "del", epoch)}
+        return {"add": self._stage(adds, self._alloc_dir("add", epoch)),
+                "del": self._stage(d, self._alloc_dir("del", epoch))}
 
     def commit_delta(self, epoch: int, staged: dict) -> None:
         man = self._manifest()
         for kind in ("add", "del"):
-            final = self._dir(kind, epoch)
-            if os.path.exists(final):
-                shutil.rmtree(final)            # orphan from a crash — redo
             if staged[kind]["rows"]:
+                final = os.path.join(self.path, staged[kind]["name"])
                 os.replace(staged[kind]["staging"], final)
-                man[kind + "s"][str(epoch)] = {
+                man[kind + "s"][staged[kind]["name"]] = {
                     "rows": staged[kind]["rows"],
                     "bytes": staged[kind]["bytes"]}
             else:                               # empty delta — skip entirely
@@ -320,32 +333,40 @@ class DeltaFrontier:
 
     def overwrite(self, df: DataFrame, epoch: int) -> None:
         """Full rewrite as a single add snapshot (bootstrap / compaction /
-        explicit state restore). Two-phase like LakeTable.overwrite: the old
-        snapshot stays committed until the manifest swap."""
-        staged = self._stage(df, "add", epoch)
+        explicit state restore). Two-phase like LakeTable.overwrite, into a
+        FRESH directory: a crash at any point leaves either the complete
+        old snapshot (manifest untouched) or the complete new one; at worst
+        an orphan dir leaks, never committed data."""
+        staged = self._stage(df, self._alloc_dir("add", epoch))
         man = self._manifest()
-        old = ([self._dir("add", int(e)) for e in man["adds"]] +
-               [self._dir("del", int(e)) for e in man["dels"]])
-        final = self._dir("add", epoch)
-        if os.path.exists(final):
-            shutil.rmtree(final)
+        old = list(man["adds"]) + list(man["dels"])
+        final = os.path.join(self.path, staged["name"])
         os.replace(staged["staging"], final)
-        self._write_manifest({"adds": {str(epoch): {
+        self._write_manifest({"adds": {staged["name"]: {
             "rows": staged["rows"], "bytes": staged["bytes"]}}, "dels": {}})
-        for o in old:
-            if os.path.abspath(o) != os.path.abspath(final):
-                shutil.rmtree(o, ignore_errors=True)
+        for o in old:                           # best-effort post-swap GC
+            shutil.rmtree(os.path.join(self.path, o), ignore_errors=True)
+
+    def _committed_dirs(self, man: dict, kind: str) -> list:
+        dirs = [os.path.join(self.path, n) for n in man[kind]]
+        missing = [d for d in dirs if not os.path.exists(d)]
+        if missing:
+            # fail LOUD: a manifest-listed dir that is gone means committed
+            # rows were lost — silently shrinking the frontier (or
+            # resurrecting tombstoned rows) would hide the corruption
+            raise FileNotFoundError(
+                f"{self.path}: manifest lists missing snapshot dirs "
+                f"{missing} — the table is corrupt")
+        return dirs
 
     def read(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import functions as F
         man = self._manifest()
-        add_dirs = [self._dir("add", int(e)) for e in man["adds"]]
-        add_dirs = [d for d in add_dirs if os.path.exists(d)]
+        add_dirs = self._committed_dirs(man, "adds")
         if not add_dirs:
             return spark.createDataFrame([], schema=self.schema_ddl)
         base = spark.read.parquet(*add_dirs)
-        del_dirs = [self._dir("del", int(e)) for e in man["dels"]]
-        del_dirs = [d for d in del_dirs if os.path.exists(d)]
+        del_dirs = self._committed_dirs(man, "dels")
         if not del_dirs:
             return base
         dels = spark.read.parquet(*del_dirs)
