@@ -142,3 +142,19 @@ def test_read_fails_loud_on_missing_committed_dir(spark, tmp_path):
     _shutil.rmtree(os.path.join(t.path, name))
     with _pytest.raises(FileNotFoundError, match="corrupt"):
         t.read(spark)
+
+
+def test_compaction_skipped_when_drained(spark, tmp_path):
+    """live_rows=0 prunes the no-win compaction (full read, nothing out) —
+    and the hint can only SKIP, never truncate, so a wrong count cannot
+    destroy rows."""
+    t = DeltaFrontier(str(tmp_path / "f"), DDL, compact_ratio=0.3)
+    t.overwrite(_rows(spark, 50), epoch=0)
+    dels = _rows(spark, 50).select("url", "discovered_seq", "retries")
+    t.commit_delta(1, t.stage_delta(_rows(spark, 0, start=500), dels, 1))
+    assert not t.maybe_compact(spark, 2, live_rows=0)
+    assert t.stats()["del_rows"] == 50          # tombstones kept, no read
+    assert t.read(spark).count() == 0
+    # without the hint the same state compacts as before
+    assert t.maybe_compact(spark, 2)
+    assert t.stats()["del_rows"] == 0

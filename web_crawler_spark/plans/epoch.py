@@ -501,8 +501,11 @@ class CrawlEngine:
         # maintenance: once tombstones outgrow compact_ratio of the add
         # rows, fold the delta state into one clean snapshot (bounds the
         # read-side anti-join). Crash-safe — old snapshot stays committed
-        # until the rewrite's manifest swap.
-        self.frontier.maybe_compact(self.spark, epoch + 1)
+        # until the rewrite's manifest swap. The live-count hint skips the
+        # no-win compaction of a just-drained frontier (full read, ~0 rows
+        # out — measured as the bulk of the final epoch's commit phase).
+        self.frontier.maybe_compact(self.spark, epoch + 1,
+                                    live_rows=n_front_out)
         _mark("frontier_commit")
 
         # S13 — last_crawled per source (database.py:134-146, applied after

@@ -377,12 +377,22 @@ class DeltaFrontier:
         cond.append(base["epoch_added"] <= dels["__del_epoch"])
         return base.join(dels, cond, "left_anti")
 
-    def maybe_compact(self, spark: SparkSession, epoch: int) -> bool:
+    def maybe_compact(self, spark: SparkSession, epoch: int,
+                      live_rows: Optional[int] = None) -> bool:
         """Rewrite to a clean single-add snapshot when the delete set
         exceeds compact_ratio of the add rows. Crash-safe: a crash mid-
-        compaction leaves the old snapshot committed."""
+        compaction leaves the old snapshot committed.
+
+        ``live_rows`` (the caller's known live count) prunes the no-win
+        case: a just-drained frontier (live == 0) would pay a full
+        base-minus-tombstones read to write nothing — the dominant cost of
+        the final epoch of a drain-to-empty crawl. Skip is the only action
+        taken on that hint (never a truncate), so an overcounting caller
+        can only delay compaction, not destroy rows."""
         s = self.stats()
         if s["add_rows"] == 0 or s["del_rows"] <= self.compact_ratio * s["add_rows"]:
+            return False
+        if live_rows == 0:
             return False
         self.overwrite(self.read(spark), epoch)
         return True
