@@ -158,3 +158,38 @@ def test_compaction_skipped_when_drained(spark, tmp_path):
     # without the hint the same state compacts as before
     assert t.maybe_compact(spark, 2)
     assert t.stats()["del_rows"] == 0
+
+
+def test_commit_replace_drain_fast_path(spark, tmp_path):
+    """Full-consume epochs commit replace-with-adds: no tombstones ever,
+    old dirs GC'd, and a DRAINED (0-row) frontier stays distinguishable
+    from a never-bootstrapped one (is_empty gates bootstrap on resume)."""
+    t = DeltaFrontier(str(tmp_path / "f"), DDL)
+    t.overwrite(_rows(spark, 10), epoch=0)
+    staged = t.stage_adds(_rows(spark, 4, epoch_added=1, start=100), 1)
+    assert t.read(spark).count() == 10           # staged, not yet visible
+    t.commit_replace(staged)
+    assert t.read(spark).count() == 4
+    s = t.stats()
+    assert s["del_rows"] == 0 and s["snapshots"] == 1
+    # drain to zero: 0-row snapshot committed, table NOT "empty"
+    t.commit_replace(t.stage_adds(_rows(spark, 0, start=900), 2))
+    assert t.read(spark).count() == 0
+    assert not t.is_empty()
+
+
+def test_engine_drain_epoch_uses_replace(spark, tmp_path):
+    """An epoch whose budget covers the whole frontier must leave NO
+    tombstones (the drain fast path) while a budget-bounded epoch on the
+    same engine still writes deltas."""
+    pages = spark.createDataFrame(
+        [], schema="url string, warc_ts timestamp, html binary, "
+                   "text string, lang string")
+    eng = CrawlEngine(spark, str(tmp_path / "lake"), pages,
+                      CrawlConfig(per_host_budget=10_000,
+                                  request_delay=0.0))
+    eng.frontier.overwrite(_rows(spark, 500), epoch=0)
+    stats = eng.run_epoch(0)                    # 500 <= budget: full consume
+    assert stats["frontier_out"] == 0
+    assert eng.frontier.stats()["del_rows"] == 0
+    assert not eng.frontier.is_empty()          # drained, not uninitialized

@@ -474,11 +474,22 @@ class CrawlEngine:
         # 10^10-row frontier with a budget-bounded epoch that is the
         # difference between rewriting terabytes and writing megabytes.
         adds = discovered.unionByName(requeued.select(*FRONTIER_COLS))
-        dels = sched.select("url", "discovered_seq", "retries")
-        if robots_dropped is not None:
-            dels = dels.unionByName(
-                robots_dropped.select("url", "discovered_seq", "retries"))
-        staged = self.frontier.stage_delta(adds, dels, epoch + 1)
+        # Drain fast path: when the epoch consumed EVERY live row (budget
+        # covered the whole frontier — the tail of any crawl), the new live
+        # set IS the additions; tombstoning the entire old snapshot (and
+        # anti-joining it on every later read) would be pure overhead, so
+        # the commit is a replace-with-adds instead. Detected by exact
+        # count arithmetic: robots-dropped + scheduled partition the read
+        # frontier.
+        full_consume = (n_robots_dropped + n_sched_total == frontier_in)
+        if full_consume:
+            staged = {"add": self.frontier.stage_adds(adds, epoch + 1)}
+        else:
+            dels = sched.select("url", "discovered_seq", "retries")
+            if robots_dropped is not None:
+                dels = dels.unionByName(
+                    robots_dropped.select("url", "discovered_seq", "retries"))
+            staged = self.frontier.stage_delta(adds, dels, epoch + 1)
         n_adds = staged["add"]["rows"]
         # live-row arithmetic (no frontier-sized count job): every scheduled
         # and robots-dropped row leaves, every add enters. Exotic replay
@@ -497,15 +508,18 @@ class CrawlEngine:
             self.spark.createDataFrame(
                 [(epoch, float(epoch), frontier_in, n_front_out, n_parsed)],
                 schema=CHECKPOINT_DDL), epoch)
-        self.frontier.commit_delta(epoch + 1, staged)
-        # maintenance: once tombstones outgrow compact_ratio of the add
-        # rows, fold the delta state into one clean snapshot (bounds the
-        # read-side anti-join). Crash-safe — old snapshot stays committed
-        # until the rewrite's manifest swap. The live-count hint skips the
-        # no-win compaction of a just-drained frontier (full read, ~0 rows
-        # out — measured as the bulk of the final epoch's commit phase).
-        self.frontier.maybe_compact(self.spark, epoch + 1,
-                                    live_rows=n_front_out)
+        if full_consume:
+            self.frontier.commit_replace(staged["add"])
+        else:
+            self.frontier.commit_delta(epoch + 1, staged)
+            # maintenance: once tombstones outgrow compact_ratio of the add
+            # rows, fold the delta state into one clean snapshot (bounds
+            # the read-side anti-join). Crash-safe — old snapshot stays
+            # committed until the rewrite's manifest swap. The live-count
+            # hint skips the no-win compaction of a just-drained frontier
+            # (full read, ~0 rows out).
+            self.frontier.maybe_compact(self.spark, epoch + 1,
+                                        live_rows=n_front_out)
         _mark("frontier_commit")
 
         # S13 — last_crawled per source (database.py:134-146, applied after

@@ -318,6 +318,32 @@ class DeltaFrontier:
         return {"add": self._stage(adds, self._alloc_dir("add", epoch)),
                 "del": self._stage(d, self._alloc_dir("del", epoch))}
 
+    def stage_adds(self, adds: DataFrame, epoch: int) -> dict:
+        """Stage an adds-only snapshot for commit_replace (old snapshot
+        stays committed until then)."""
+        return self._stage(adds, self._alloc_dir("add", epoch))
+
+    def commit_replace(self, staged_add: dict) -> None:
+        """Publish the staged adds as the ENTIRE table — the fast path for
+        an epoch that consumed every live row (the drain case): the new
+        live set IS the epoch's additions, so writing tombstones for the
+        whole old snapshot (and anti-joining them on every future read)
+        would be pure overhead. Same two-phase discipline as overwrite:
+        swap the manifest to the staged dir, then best-effort GC of the
+        old dirs; a crash leaves either complete snapshot."""
+        man = self._manifest()
+        old = list(man["adds"]) + list(man["dels"])
+        final = os.path.join(self.path, staged_add["name"])
+        os.replace(staged_add["staging"], final)
+        # a 0-row snapshot is kept in the manifest ON PURPOSE: a DRAINED
+        # frontier must stay distinguishable from a never-bootstrapped one
+        # (is_empty() gates bootstrap on resume)
+        self._write_manifest({"adds": {staged_add["name"]: {
+            "rows": staged_add["rows"], "bytes": staged_add["bytes"]}},
+            "dels": {}})
+        for o in old:                           # best-effort post-swap GC
+            shutil.rmtree(os.path.join(self.path, o), ignore_errors=True)
+
     def commit_delta(self, epoch: int, staged: dict) -> None:
         man = self._manifest()
         for kind in ("add", "del"):
@@ -363,7 +389,9 @@ class DeltaFrontier:
         from pyspark.sql import functions as F
         man = self._manifest()
         add_dirs = self._committed_dirs(man, "adds")
-        if not add_dirs:
+        if not add_dirs or not any(m["rows"] for m in man["adds"].values()):
+            # no rows anywhere (incl. the drained 0-row snapshot, whose dir
+            # may hold no readable parquet footer) — empty by schema
             return spark.createDataFrame([], schema=self.schema_ddl)
         base = spark.read.parquet(*add_dirs)
         del_dirs = self._committed_dirs(man, "dels")
