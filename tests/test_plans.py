@@ -81,3 +81,37 @@ def test_small_dim_join_broadcasts(spark):
     from web_crawler_spark.driver_queries import QUERIES
     plan = _plan(QUERIES["articles_recent"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_delta_frontier_read_broadcasts_small_delete_set(spark, tmp_path):
+    """The merge-on-read frontier view must anti-join its tombstones as a
+    BROADCAST below the size threshold (the base side never shuffles for
+    delete application), and the whole-table read with no tombstones must
+    be a bare scan with no join at all."""
+    from pyspark.sql import functions as _F
+
+    from web_crawler_spark.sources.tables import DeltaFrontier
+    ddl = ("url string, host string, kind string, parser_class string, "
+           "source_id bigint, priority int, discovered_seq bigint, "
+           "next_fetch_ts double, retries int, date_str string, "
+           "list_title string, list_summary string, epoch_added int")
+    rows = spark.range(1000).select(
+        _F.concat(_F.lit("https://h/"), _F.col("id").cast("string"))
+        .alias("url"),
+        _F.lit("h").alias("host"), _F.lit("article").alias("kind"),
+        _F.lit("rbc").alias("parser_class"),
+        _F.lit(1).cast("bigint").alias("source_id"),
+        _F.lit(1).alias("priority"), _F.col("id").alias("discovered_seq"),
+        _F.lit(0.0).alias("next_fetch_ts"), _F.lit(0).alias("retries"),
+        _F.lit(None).cast("string").alias("date_str"),
+        _F.lit(None).cast("string").alias("list_title"),
+        _F.lit(None).cast("string").alias("list_summary"),
+        _F.lit(0).alias("epoch_added"))
+    t = DeltaFrontier(str(tmp_path / "f"), ddl)
+    t.overwrite(rows, epoch=0)
+    assert "Join" not in _plan(t.read(spark))          # no tombstones: scan
+    dels = rows.limit(100).select("url", "discovered_seq", "retries")
+    t.commit_delta(1, t.stage_delta(rows.limit(0), dels, 1))
+    plan = _plan(t.read(spark))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
