@@ -69,6 +69,9 @@ def test_cli_stats_totals(spark, lake):
     out = io.StringIO()
     cli.cmd_stats(spark, _ns(wd, today=None, week_ago=None), out=out)
     assert f"Total articles: {n_articles}" in out.getvalue()
+    # frontier delta-state observability rides the same command
+    assert "Frontier (merge-on-read):" in out.getvalue()
+    assert "tombstones:" in out.getvalue()
 
 
 def test_cli_parser_maps_reference_commands():

@@ -176,6 +176,18 @@ def cmd_stats(spark, args, out=sys.stdout) -> None:
     print("\nArticles by source:", file=out)
     for _id, (name, n) in per_source.items():
         print(f"  {name}: {n}", file=out)
+    # frontier observability (manifest-only — no Spark job): live delta
+    # state of the merge-on-read table, the numbers an operator needs to
+    # judge backlog and compaction debt
+    from .sources.tables import DeltaFrontier
+    fpath = os.path.join(args.workdir, "frontier")
+    if os.path.exists(os.path.join(fpath, "_manifest.json")):
+        s = DeltaFrontier(fpath).stats()
+        print("\nFrontier (merge-on-read):", file=out)
+        print(f"  add rows: {s['add_rows']}  tombstones: {s['del_rows']}"
+              f"  snapshots: {s['snapshots']}", file=out)
+        print(f"  bytes: adds {s['add_bytes']}  deletes {s['del_bytes']}",
+              file=out)
     print(file=out)
 
 
