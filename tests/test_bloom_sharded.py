@@ -63,9 +63,10 @@ def test_seen_filter_sharded_equals_exact(spark):
 
 
 def test_engine_seen_set_unchanged_on_sharded_plan(spark, tmp_path):
-    """Full-engine equality: force the sharded probe (broadcast cap 0,
-    bloom always on) and compare the stored article url set against the
-    default engine on the same synthetic web."""
+    """Full-engine equality: the bloom-probed engine (persisted seen_shards
+    table + shard-aligned cogroup, bloom always on) must store exactly the
+    same article url set as an engine running the plain exact anti-join
+    (bloom never engaged) on the same synthetic web."""
     from web_crawler_spark import html_synth
     from web_crawler_spark.plans.epoch import CrawlConfig, CrawlEngine
 
@@ -74,11 +75,10 @@ def test_engine_seen_set_unchanged_on_sharded_plan(spark, tmp_path):
     seeds = html_synth.seeds_df(spark, web)
 
     eng_a = CrawlEngine(spark, str(tmp_path / "a"), pages,
-                        CrawlConfig(bloom_min_articles=0))
+                        CrawlConfig(bloom_min_articles=1 << 30))  # never
     eng_a.run(seeds, max_epochs=6)
     eng_b = CrawlEngine(spark, str(tmp_path / "b"), pages,
-                        CrawlConfig(bloom_min_articles=0,
-                                    bloom_broadcast_max_bytes=0))
+                        CrawlConfig(bloom_min_articles=0))        # always
     eng_b.run(seeds, max_epochs=6)
 
     a = {r.url for r in eng_a.articles.read(spark).select("url").collect()}

@@ -176,18 +176,86 @@ def test_hot_host_salting_preserves_results(spark, tmp_path, web, golden):
 def test_bloom_rebuilds_when_seen_set_outgrows_capacity(spark, tmp_path, web):
     """Round-2 advice: a long crawl can outgrow the 10x headroom the bloom
     was sized for, silently degrading FPP. The engine must re-size: after
-    the seen set exceeds the sized capacity, the next _seen_bloom() call
-    rebuilds a larger filter (and crawl results stay correct — the exact
-    anti-join backstop is separately e2e-gated)."""
+    the seen set exceeds the sized capacity, the next _seen_probe() call
+    rebuilds a larger filter (persisted seen_shards table + manifest meta;
+    crawl results stay correct — the exact anti-join backstop is separately
+    e2e-gated)."""
     wd = str(tmp_path / "lake-bloomgrow")
     eng = run_engine(spark, wd, web, max_epochs=2, bloom_min_articles=0)
-    assert eng._bloom is not None
-    cap0 = eng._bloom_capacity
-    bloom0 = eng._bloom
+    meta0 = eng.seen_shards.meta()
+    assert meta0 and meta0["capacity"] >= 100_000
+    snaps0 = eng.seen_shards.committed_epochs()
     # simulate the seen set outgrowing the filter (long-crawl state)
-    eng._articles_rows = cap0 + 1
-    b = eng._seen_bloom()
-    assert b is not None and b is not bloom0
-    assert eng._bloom_capacity >= (cap0 + 1) * 10
+    eng._articles_rows = meta0["capacity"] + 1
+    probe = eng._seen_probe(99)
+    assert probe is not None
+    meta1 = eng.seen_shards.meta()
+    assert meta1["capacity"] >= (meta0["capacity"] + 1) * 10
+    assert eng.seen_shards.committed_epochs() != snaps0   # rebuilt snapshot
     # and a steady-state call does NOT rebuild again
-    assert eng._seen_bloom() is b
+    snaps1 = eng.seen_shards.committed_epochs()
+    eng._seen_probe(99)
+    assert eng.seen_shards.committed_epochs() == snaps1
+
+
+def test_replay_after_articles_commit_crash(spark, tmp_path, web):
+    """THE OTHER crash window (found round 5): articles.append(N) committed,
+    pipeline checkpoint for N not yet. The replay of N must re-produce
+    epoch N's output — before the as-of (before_epoch) seen reads, the
+    replay saw its own orphan articles as already-seen, filtered them all
+    out, and replace-appended epoch N EMPTY: measured loss of every
+    article the epoch had stored."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    wd = str(tmp_path / "lake-replay")
+    pages = html_synth.pages_df(spark, web)
+    seeds = html_synth.seeds_df(spark, web)
+    eng = CrawlEngine(spark, wd, pages, CrawlConfig(bloom_min_articles=0))
+    eng.bootstrap(seeds)
+    eng.run_epoch(0)
+    stale = [r.asDict() for r in eng.frontier.read(spark).collect()]
+    stale_df = spark.createDataFrame(
+        stale, schema=eng.frontier.read(spark).schema)
+    eng.run_epoch(1)
+    n_after_1 = eng.articles.read(spark).count()
+    assert n_after_1 > 0
+    # craft the crash state: frontier stale at epoch-1 input, epoch-1
+    # checkpoint missing, epoch-1 articles/metrics/seen_shards committed
+    eng.frontier.overwrite(stale_df, 1)
+    ck = os.path.join(wd, "checkpoints", "_manifest.json")
+    man = json.load(open(ck))
+    man["epochs"] = [e for e in man["epochs"] if e != 1]
+    json.dump(man, open(ck, "w"))
+    shutil.rmtree(os.path.join(wd, "checkpoints", "epoch=1"),
+                  ignore_errors=True)
+    eng2 = CrawlEngine(spark, wd, pages, CrawlConfig(bloom_min_articles=0))
+    eng2.run(max_epochs=3)                     # resumes AT epoch 1 (replay)
+    arts = eng2.articles.read(spark)
+    assert arts.count() == n_after_1           # nothing lost
+    assert arts.groupBy("url").count().filter(
+        F.col("count") > 1).count() == 0       # nothing duplicated
+
+
+def test_engine_bloom_never_collects_bits_to_driver(spark, tmp_path, web,
+                                                    golden, monkeypatch):
+    """Round-4 verdict Next #1 done-criterion: no bloom bytes ever visit
+    the driver in the engine path — the filter is built, merged, and probed
+    as (shard, bits) DataFrames against the persisted seen_shards table.
+    add_df (the driver fold) must be unreachable from run_epoch; the seen
+    set must still exactly match the reference."""
+    from web_crawler_spark.operators import dedup as dd
+
+    def boom(self, df, url_col="url"):
+        raise AssertionError("driver-side bloom fold called in engine path")
+    monkeypatch.setattr(dd.BloomShards, "add_df", boom)
+    wd = str(tmp_path / "lake-driverfree")
+    # compact_after=1 also exercises the or_merge compaction path in-run
+    eng = run_engine(spark, wd, web, bloom_min_articles=0,
+                     seen_shards_compact_after=1)
+    got = {r.url for r in eng.articles.read(spark).select("url").collect()}
+    assert got == {a["url"] for a in golden["articles"]}
+    assert eng.seen_shards.meta()["capacity"] >= 100_000
+    assert len(eng.seen_shards.committed_epochs()) >= 1

@@ -437,6 +437,43 @@ HELD_OUT = [
     ("es", "Por favor recuerda traer tu paraguas, podría llover más tarde."),
     ("es", "Nuestro tren sale temprano, así que deberíamos empacar todo "
            "esta noche."),
+    # round-5 broadened model (10 languages, round-4 verdict Next #4)
+    ("it", "La biblioteca apre alle nove e chiude dopo l'ultima lezione."),
+    ("it", "Camminava lungo il fiume finché apparvero le luci della città."),
+    ("it", "Ricordati di portare l'ombrello, potrebbe piovere più tardi."),
+    ("it", "Il nostro treno parte presto, quindi dovremmo preparare tutto "
+           "stasera."),
+    ("pt", "A biblioteca abre às nove e fecha depois da última aula."),
+    ("pt", "Ele caminhou ao longo do rio até aparecerem as luzes da "
+           "cidade."),
+    ("pt", "Lembra-te de trazer o guarda-chuva, pode chover mais tarde."),
+    ("pt", "O nosso comboio parte cedo, por isso devíamos arrumar tudo "
+           "esta noite."),
+    ("nl", "De bibliotheek gaat om negen uur open en sluit na het laatste "
+           "college."),
+    ("nl", "Hij liep langs de rivier totdat de lichten van de stad "
+           "verschenen."),
+    ("nl", "Vergeet niet je paraplu mee te nemen, het kan later gaan "
+           "regenen."),
+    ("nl", "Onze trein vertrekt vroeg, dus we moeten vanavond alles "
+           "inpakken."),
+    ("sv", "Biblioteket öppnar klockan nio och stänger efter sista "
+           "föreläsningen."),
+    ("sv", "Han gick längs floden tills stadens ljus syntes."),
+    ("sv", "Kom ihåg att ta med paraplyet, det kan regna senare."),
+    ("sv", "Vårt tåg går tidigt, så vi borde packa allt i kväll."),
+    ("id", "Perpustakaan buka jam sembilan dan tutup setelah kuliah "
+           "terakhir."),
+    ("id", "Dia berjalan di sepanjang sungai sampai lampu-lampu kota "
+           "terlihat."),
+    ("id", "Tolong ingat membawa payung, mungkin nanti akan hujan."),
+    ("id", "Kereta kami berangkat pagi-pagi, jadi kita harus mengemas "
+           "semuanya malam ini."),
+    ("tr", "Kütüphane dokuzda açılır ve son dersten sonra kapanır."),
+    ("tr", "Şehrin ışıkları görünene kadar nehir boyunca yürüdü."),
+    ("tr", "Şemsiyeni getirmeyi unutma, sonra yağmur yağabilir."),
+    ("tr", "Trenimiz erken kalkıyor, bu yüzden her şeyi bu akşam "
+           "toplamalıyız."),
 ]
 
 

@@ -116,7 +116,15 @@ def main():
         else:
             print(f"ok   {name}: {len(srows)} rows match "
                   f"({time.time()-t0:.1f}s)")
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    n_checked = len(qs) if not only else len(only)
+    print(f"\nchecked {n_checked}/{len(qs)} registered queries; "
+          f"{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if not only and n_checked != len(qs):
+        # a full run that somehow skipped a registered query must FAIL loud
+        # (the driver's r04 file silently sampled 50 of 51 — round-4 Next #6)
+        print(f"error: full run checked {n_checked} != registered {len(qs)}",
+              file=sys.stderr)
+        sys.exit(2)
     spark.stop()
     sys.exit(1 if failures else 0)
 

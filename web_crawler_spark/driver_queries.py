@@ -649,12 +649,16 @@ def _langid_ngram_oracle_sql() -> str:
     argmax (ORDER BY score DESC, lang DESC == Spark's max(struct)) can
     never diverge by platform."""
     path = T.langid_model_path()
+    # the whitespace class is shared verbatim with the Spark scorer and the
+    # training tool (see text.LANGID_WS_CLASS: \s differs across Java / RE2
+    # / Python dialects; this explicit spelling does not)
+    ws = T.LANGID_WS_CLASS
     return f"""
     WITH model AS (SELECT lang, tri, w FROM read_parquet('{path}')),
     unk AS (SELECT lang, w AS unk_w FROM model WHERE tri = ''),
     m AS (SELECT lang, tri, w FROM model WHERE tri <> ''),
     norm AS (SELECT doc_id,
-                    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+                    lower(regexp_replace(trim(text), '{ws}', ' ', 'g')) AS t
              FROM documents),
     nt AS (SELECT doc_id, greatest(length(t) - 2, 0) AS n_tris FROM norm),
     tris AS (SELECT doc_id,

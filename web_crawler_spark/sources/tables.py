@@ -33,6 +33,35 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _fsync_file_and_dir(path: str) -> None:
+    """fsync a just-written file and its directory entry — os.replace is
+    atomic for processes but the rename can hit disk before the file
+    contents after a power loss / kernel crash (ADVICE r4): without the
+    directory fsync the manifest may point at a hole."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _atomic_write_json(directory: str, final_path: str, payload: dict) -> None:
+    """Durable atomic JSON replace: write temp, flush+fsync, rename, fsync
+    the directory so the rename itself is persisted."""
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final_path)
+    _fsync_file_and_dir(final_path)
+
+
 def write_bucketed_pages(pages: DataFrame, path: str, table: str = "pages",
                          n_buckets: int = 64) -> None:
     """Persist the pages table bucketed+sorted by url — the co-located
@@ -73,20 +102,32 @@ class LakeTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "_manifest.json")
 
-    def committed_epochs(self) -> List[int]:
+    def _read_manifest(self) -> dict:
         try:
             with open(self._manifest_path) as f:
-                return sorted(json.load(f)["epochs"])
+                return json.load(f)
         except FileNotFoundError:
-            return []
+            return {"epochs": []}
 
-    def _commit(self, epoch: int) -> None:
-        epochs = set(self.committed_epochs())
+    def committed_epochs(self) -> List[int]:
+        return sorted(self._read_manifest()["epochs"])
+
+    def meta(self) -> dict:
+        """Table-level metadata committed atomically WITH the data manifest
+        (Iceberg table-properties equivalent) — e.g. the seen_shards bloom
+        sizing params, which must never be able to disagree with the bit
+        arrays they describe (a sidecar file could after a crash)."""
+        return self._read_manifest().get("meta", {})
+
+    def _commit(self, epoch: int, meta: Optional[dict] = None) -> None:
+        man = self._read_manifest()
+        epochs = set(man["epochs"])
         epochs.add(epoch)
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"epochs": sorted(epochs)}, f)
-        os.replace(tmp, self._manifest_path)    # atomic snapshot commit
+        payload = {"epochs": sorted(epochs)}
+        kept = meta if meta is not None else man.get("meta")
+        if kept is not None:
+            payload["meta"] = kept
+        _atomic_write_json(self.path, self._manifest_path, payload)
 
     # -- io ------------------------------------------------------------------
     def _epoch_dir(self, epoch: int) -> str:
@@ -99,7 +140,12 @@ class LakeTable:
         replace=True makes the append replay-safe: a crashed epoch whose
         append committed but whose *pipeline* checkpoint (the last table
         committed in run_epoch) did not is rewritten on replay instead of
-        raising — exactly-once output per epoch either way."""
+        raising — exactly-once output per epoch either way.
+
+        NOTE for replayed epochs: a plan that READS this table's epoch N
+        while replace-appending epoch N would scan files this call deletes —
+        replaying readers must read with ``before_epoch`` (run_epoch's
+        seen_df does)."""
         d = self._epoch_dir(epoch)
         if epoch in self.committed_epochs() and not replace:
             raise ValueError(f"epoch {epoch} already committed to {self.path}")
@@ -108,11 +154,12 @@ class LakeTable:
         df.write.mode("overwrite").parquet(d)
         self._commit(epoch)
 
-    def overwrite(self, df: DataFrame, epoch: int) -> None:
+    def overwrite(self, df: DataFrame, epoch: int,
+                  meta: Optional[dict] = None) -> None:
         """Replace table contents with df as the single epoch `epoch`
         (frontier compaction between epochs)."""
         self.stage_overwrite(df, epoch)
-        self.commit_staged_overwrite(epoch)
+        self.commit_staged_overwrite(epoch, meta=meta)
 
     # two-phase overwrite: stage (write data, old contents still committed)
     # then commit (atomic manifest swap). Lets the epoch pipeline order its
@@ -125,17 +172,19 @@ class LakeTable:
         df.write.mode("overwrite").parquet(staging)
         return staging
 
-    def commit_staged_overwrite(self, epoch: int) -> None:
+    def commit_staged_overwrite(self, epoch: int,
+                                meta: Optional[dict] = None) -> None:
         d = self._epoch_dir(epoch)
         staging = d + ".staging"
         old = [self._epoch_dir(e) for e in self.committed_epochs() if e != epoch]
         if os.path.exists(d):
             shutil.rmtree(d)
         os.replace(staging, d)
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"epochs": [epoch]}, f)
-        os.replace(tmp, self._manifest_path)
+        payload = {"epochs": [epoch]}
+        kept = meta if meta is not None else self._read_manifest().get("meta")
+        if kept is not None:
+            payload["meta"] = kept
+        _atomic_write_json(self.path, self._manifest_path, payload)
         for o in old:
             shutil.rmtree(o, ignore_errors=True)
 
@@ -178,8 +227,19 @@ class LakeTable:
         fresh = updates.join(cur.select(key), key, "left_anti")
         self.overwrite(cur.unionByName(fresh), epoch)
 
-    def read(self, spark: SparkSession) -> Optional[DataFrame]:
-        dirs = [self._epoch_dir(e) for e in self.committed_epochs()]
+    def read(self, spark: SparkSession,
+             before_epoch: Optional[int] = None) -> Optional[DataFrame]:
+        """Committed snapshot union. ``before_epoch`` restricts to epochs
+        strictly below it — the as-of read a REPLAYED epoch needs: after a
+        crash between epoch N's table appends and the pipeline checkpoint,
+        the replay of N must not see N's own orphan output as input (the
+        seen filter would drop the replayed articles and the replace-append
+        would then rewrite epoch N empty — measured data loss, pinned by
+        test_replay_after_articles_commit_crash)."""
+        epochs = self.committed_epochs()
+        if before_epoch is not None:
+            epochs = [e for e in epochs if e < before_epoch]
+        dirs = [self._epoch_dir(e) for e in epochs]
         dirs = [d for d in dirs if os.path.exists(d)]
         if not dirs:
             if self.schema_ddl:
@@ -259,10 +319,9 @@ class DeltaFrontier:
             return {"adds": {}, "dels": {}}
 
     def _write_manifest(self, man: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, self._manifest_path)    # atomic snapshot commit
+        # durable atomic commit: fsync file + dir (ADVICE r4 — without the
+        # fsyncs the crash-safety claim held for process crashes only)
+        _atomic_write_json(self.path, self._manifest_path, man)
 
     def is_empty(self) -> bool:
         return not self._manifest()["adds"]

@@ -75,6 +75,12 @@ def stream_politeness_schedule(spark: SparkSession, requests: DataFrame,
     mtimes, because the file source orders batches by modification time and
     a token bucket is order-sensitive — on a real deployment the same
     contract comes from the log/queue's per-key time order.
+
+    The file staging is HARNESS-ONLY machinery (it exists so the oracle can
+    drive a deterministic multi-batch stream); a production deployment
+    reads a queue/log directly. Even so, slices are written BY SPARK
+    (coalesce(1).write.parquet, executor-side) — the input rows never
+    funnel through the driver (round-4 ADVICE); only scalar bounds do.
     """
     from ..util import scratch_dir
     workdir = scratch_dir("wcs-polstream-")
@@ -83,8 +89,7 @@ def stream_politeness_schedule(spark: SparkSession, requests: DataFrame,
     os.makedirs(src, exist_ok=True)
     req = requests.select("host", "url", F.col("req_ts").cast("double")
                           .alias("req_ts"))
-    rows = req.count()
-    if rows == 0:
+    if req.isEmpty():
         return spark.createDataFrame([], schema=OUT_SCHEMA)
 
     # event-time range slicing into n_files micro-batch files
@@ -97,10 +102,16 @@ def stream_politeness_schedule(spark: SparkSession, requests: DataFrame,
                           (F.col("req_ts") <= F.lit(hi))
                           if lo != float("-inf")
                           else F.col("req_ts") <= F.lit(hi))
-        pdf = part.toPandas()
-        if len(pdf):
+        # one FILE per slice (the stream consumes one file per trigger):
+        # coalesce(1) is bounded by the slice size — harness-scale by
+        # construction — and keeps the write on the executors
+        stage = os.path.join(workdir, f"stage-{i:03d}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        parts = [p for p in os.listdir(stage)
+                 if p.startswith("part-") and p.endswith(".parquet")]
+        if parts:
             f = os.path.join(src, f"slice-{i:03d}.parquet")
-            pdf.to_parquet(f, index=False)
+            os.replace(os.path.join(stage, parts[0]), f)
             os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
         lo = hi
 
