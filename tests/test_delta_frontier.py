@@ -20,14 +20,16 @@ DDL = ("url string, host string, kind string, parser_class string, "
        "list_title string, list_summary string, epoch_added int")
 
 
-def _rows(spark, n, epoch_added=0, retries=0, host="h.com", start=0):
+def _rows(spark, n, epoch_added=0, retries=0, host="h.com", start=0,
+          next_fetch_ts=0.0):
     return spark.range(start, start + n).select(
         F.concat(F.lit(f"https://{host}/a/"), F.col("id").cast("string"))
         .alias("url"),
         F.lit(host).alias("host"), F.lit("article").alias("kind"),
         F.lit("rbc").alias("parser_class"), F.lit(1).alias("source_id"),
         F.lit(1).alias("priority"), F.col("id").alias("discovered_seq"),
-        F.lit(0.0).alias("next_fetch_ts"), F.lit(retries).alias("retries"),
+        F.lit(float(next_fetch_ts)).alias("next_fetch_ts"),
+        F.lit(retries).alias("retries"),
         F.lit(None).cast("string").alias("date_str"),
         F.lit(None).cast("string").alias("list_title"),
         F.lit(None).cast("string").alias("list_summary"),
@@ -38,7 +40,7 @@ def test_delta_read_applies_equality_deletes(spark, tmp_path):
     t = DeltaFrontier(str(tmp_path / "f"), DDL)
     t.overwrite(_rows(spark, 10), epoch=0)
     adds = _rows(spark, 3, epoch_added=1, start=100)
-    dels = _rows(spark, 4).select("url", "discovered_seq", "retries")
+    dels = _rows(spark, 4).select("url", "discovered_seq", "retries", "epoch_added")
     staged = t.stage_delta(adds, dels, epoch=1)
     # staged but uncommitted: old snapshot still visible (crash window)
     assert t.read(spark).count() == 10
@@ -56,17 +58,43 @@ def test_delta_sequence_rule_same_epoch_add_not_shadowed(spark, tmp_path):
     t = DeltaFrontier(str(tmp_path / "f"), DDL)
     t.overwrite(_rows(spark, 5), epoch=0)                 # epoch_added=0
     readd = _rows(spark, 2, epoch_added=1)                # SAME url+seq+retries
-    dels = _rows(spark, 5).select("url", "discovered_seq", "retries")
+    dels = _rows(spark, 5).select("url", "discovered_seq", "retries", "epoch_added")
     t.commit_delta(1, t.stage_delta(readd, dels, epoch=1))
     live = t.read(spark).collect()
     assert len(live) == 2
     assert all(r.epoch_added == 1 for r in live)
 
 
+def test_delta_tombstone_kills_exactly_one_duplicate(spark, tmp_path):
+    """ADVICE r4: when the same (url, discovered_seq, retries) coexists in
+    the frontier under two epoch_added values (url rediscovered across
+    epochs) and only ONE copy is consumed, the tombstone must kill exactly
+    that copy — epoch_added is part of the equality key, so the unscheduled
+    twin survives and the live-row arithmetic stays exact."""
+    t = DeltaFrontier(str(tmp_path / "f"), DDL)
+    t.overwrite(_rows(spark, 5, epoch_added=0), epoch=0)
+    t.commit_delta(1, t.stage_delta(
+        _rows(spark, 5, epoch_added=1),        # same url+seq+retries twins
+        _rows(spark, 0).select("url", "discovered_seq", "retries",
+                               "epoch_added"), 1))
+    assert t.read(spark).count() == 10
+    # consume ONLY the epoch_added=0 copies of the first 3 urls
+    dels = _rows(spark, 3, epoch_added=0).select(
+        "url", "discovered_seq", "retries", "epoch_added")
+    t.commit_delta(2, t.stage_delta(_rows(spark, 0, start=900), dels, 2))
+    live = t.read(spark).collect()
+    assert len(live) == 7
+    survivors = {(r.url, r.epoch_added) for r in live}
+    for r in _rows(spark, 3, epoch_added=1).collect():
+        assert (r.url, 1) in survivors         # twins untouched
+    for r in _rows(spark, 3, epoch_added=0).collect():
+        assert (r.url, 0) not in survivors     # consumed copies gone
+
+
 def test_delta_compaction_folds_tombstones(spark, tmp_path):
     t = DeltaFrontier(str(tmp_path / "f"), DDL, compact_ratio=0.3)
     t.overwrite(_rows(spark, 100), epoch=0)
-    dels = _rows(spark, 60).select("url", "discovered_seq", "retries")
+    dels = _rows(spark, 60).select("url", "discovered_seq", "retries", "epoch_added")
     t.commit_delta(1, t.stage_delta(_rows(spark, 0, start=500), dels, 1))
     before = t.read(spark).count()
     assert t.maybe_compact(spark, 2)
@@ -75,7 +103,7 @@ def test_delta_compaction_folds_tombstones(spark, tmp_path):
     assert t.read(spark).count() == before == 40
     # and a small delete set does NOT trigger compaction
     dels2 = _rows(spark, 2, start=60).select("url", "discovered_seq",
-                                             "retries")
+                                             "retries", "epoch_added")
     t.commit_delta(3, t.stage_delta(_rows(spark, 0, start=900), dels2, 3))
     assert not t.maybe_compact(spark, 4)
     assert t.read(spark).count() == 38
@@ -120,7 +148,8 @@ def test_fresh_dir_allocation_never_reuses_committed_names(spark, tmp_path):
     t.overwrite(_rows(spark, 10), epoch=0)
     staged = t.stage_delta(_rows(spark, 3, epoch_added=1, start=50),
                            _rows(spark, 2).select("url", "discovered_seq",
-                                                  "retries"), epoch=1)
+                                                  "retries", "epoch_added"),
+                           epoch=1)
     t.commit_delta(1, staged)
     assert t._alloc_dir("add", 1) != "add=1"       # committed name skipped
     before = {(r.url, r.epoch_added) for r in t.read(spark).collect()}
@@ -150,7 +179,7 @@ def test_compaction_skipped_when_drained(spark, tmp_path):
     destroy rows."""
     t = DeltaFrontier(str(tmp_path / "f"), DDL, compact_ratio=0.3)
     t.overwrite(_rows(spark, 50), epoch=0)
-    dels = _rows(spark, 50).select("url", "discovered_seq", "retries")
+    dels = _rows(spark, 50).select("url", "discovered_seq", "retries", "epoch_added")
     t.commit_delta(1, t.stage_delta(_rows(spark, 0, start=500), dels, 1))
     assert not t.maybe_compact(spark, 2, live_rows=0)
     assert t.stats()["del_rows"] == 50          # tombstones kept, no read
@@ -193,3 +222,96 @@ def test_engine_drain_epoch_uses_replace(spark, tmp_path):
     assert stats["frontier_out"] == 0
     assert eng.frontier.stats()["del_rows"] == 0
     assert not eng.frontier.is_empty()          # drained, not uninitialized
+
+
+def test_read_due_before_prunes_files_and_matches_filter(spark, tmp_path):
+    """Round-4 verdict Next #2: read(due_before=t) must (a) SKIP add files
+    whose manifest min(next_fetch_ts) exceeds t — assert via inputFiles(),
+    the files the scan actually plans — and (b) be value-equal to
+    read().filter(next_fetch_ts <= t)."""
+    t = DeltaFrontier(str(tmp_path / "f"), DDL)
+    t.overwrite(_rows(spark, 20, next_fetch_ts=0.0), epoch=0)
+    # epoch-1 delta: deferred retries, all far beyond the horizon
+    t.commit_delta(1, t.stage_delta(
+        _rows(spark, 15, epoch_added=1, start=100, next_fetch_ts=9_000.0),
+        _rows(spark, 0).select(*DeltaFrontier.KEY), 1))
+    # epoch-2 delta: due rows again
+    t.commit_delta(2, t.stage_delta(
+        _rows(spark, 5, epoch_added=2, start=200, next_fetch_ts=10.0),
+        _rows(spark, 0).select(*DeltaFrontier.KEY), 2))
+    man = t._manifest()
+    assert all("stats" in e for e in man["adds"].values())
+    pruned = t.read(spark, due_before=100.0)
+    full = t.read(spark)
+    # file-level assert: no file of the deferred delta is planned
+    deferred_dir = [n for n, e in man["adds"].items()
+                    if all(r and r[0] > 100.0 for r in e["stats"].values())]
+    assert deferred_dir, "fixture must contain a fully-deferred delta"
+    planned = set(pruned.inputFiles())
+    for d in deferred_dir:
+        assert not any(f"/{d}/" in p for p in planned), (d, planned)
+    assert len(planned) < len(set(full.inputFiles()))
+    # value equivalence with the naive full-scan filter
+    naive = full.filter(F.col("next_fetch_ts") <= 100.0)
+    assert sorted(r.url for r in pruned.collect()) == \
+        sorted(r.url for r in naive.collect())
+    assert pruned.count() == 25
+    # horizon beyond everything == full read
+    assert t.read(spark, due_before=1e12).count() == full.count() == 40
+    # horizon before everything == empty, schema intact
+    nothing = t.read(spark, due_before=-1.0)
+    assert nothing.count() == 0
+    assert nothing.columns == full.columns
+
+
+def test_due_before_survives_replace_and_compaction(spark, tmp_path):
+    """Stats must ride EVERY commit path (commit_delta, commit_replace,
+    overwrite/compaction) or pruning silently degrades to full scans."""
+    t = DeltaFrontier(str(tmp_path / "f"), DDL, compact_ratio=0.1)
+    t.overwrite(_rows(spark, 50, next_fetch_ts=5.0), epoch=0)
+    assert all("stats" in e for e in t._manifest()["adds"].values())
+    # compaction path (overwrite of the live view)
+    dels = _rows(spark, 30, next_fetch_ts=5.0).select(*DeltaFrontier.KEY)
+    t.commit_delta(1, t.stage_delta(
+        _rows(spark, 10, epoch_added=1, start=100, next_fetch_ts=900.0),
+        dels, 1))
+    assert t.maybe_compact(spark, 2)
+    assert all("stats" in e for e in t._manifest()["adds"].values())
+    assert t.read(spark, due_before=10.0).count() == 20
+    # commit_replace path (drain fast path)
+    staged = t.stage_adds(_rows(spark, 7, epoch_added=3, start=300,
+                                next_fetch_ts=50.0), 3)
+    t.commit_replace(staged)
+    assert all("stats" in e for e in t._manifest()["adds"].values())
+    assert t.read(spark, due_before=10.0).count() == 0
+    assert t.read(spark, due_before=60.0).count() == 7
+
+
+def test_engine_fetch_horizon_defers_far_future_rows(spark, tmp_path):
+    """Opt-in engine wiring: with fetch_horizon set, rows whose
+    next_fetch_ts lies beyond epoch_start+horizon are NOT scheduled (they
+    stay live in the frontier), and the frontier arithmetic stays exact.
+    Default (None) schedules everything — reference semantics."""
+    pages = spark.createDataFrame(
+        [(f"https://h.com/a/{i}", None, None, None, None)
+         for i in range(400)],
+        schema="url string, warc_ts timestamp, html binary, "
+               "text string, lang string")
+    due = _rows(spark, 300, next_fetch_ts=0.0)
+    deferred = _rows(spark, 100, start=10_000, next_fetch_ts=1e9)
+    cfg = CrawlConfig(per_host_budget=10_000, request_delay=0.0,
+                      fetch_horizon=3600.0)
+    eng = CrawlEngine(spark, str(tmp_path / "lake"), pages, cfg)
+    eng.frontier.overwrite(due.unionByName(deferred), epoch=0)
+    stats = eng.run_epoch(0)
+    assert stats["frontier_in"] == 400
+    assert stats["frontier_out"] == 100          # deferred rows stay live
+    live = eng.frontier.read(spark).collect()
+    assert len(live) == 100
+    assert all(r.next_fetch_ts == 1e9 for r in live)
+    # default engine on the same input consumes everything in one epoch
+    eng2 = CrawlEngine(spark, str(tmp_path / "lake2"), pages,
+                       CrawlConfig(per_host_budget=10_000,
+                                   request_delay=0.0))
+    eng2.frontier.overwrite(due.unionByName(deferred), epoch=0)
+    assert eng2.run_epoch(0)["frontier_out"] == 0

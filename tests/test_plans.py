@@ -110,7 +110,8 @@ def test_delta_frontier_read_broadcasts_small_delete_set(spark, tmp_path):
     t = DeltaFrontier(str(tmp_path / "f"), ddl)
     t.overwrite(rows, epoch=0)
     assert "Join" not in _plan(t.read(spark))          # no tombstones: scan
-    dels = rows.limit(100).select("url", "discovered_seq", "retries")
+    dels = rows.limit(100).select("url", "discovered_seq", "retries",
+                                  "epoch_added")
     t.commit_delta(1, t.stage_delta(rows.limit(0), dels, 1))
     plan = _plan(t.read(spark))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

