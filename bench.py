@@ -44,6 +44,18 @@ HEADLINE = [
     "multimodal_features",  # mapInPandas binary-payload feature plumbing
 ]
 
+# Second headline tier (round-4 verdict Next #7): operators that landed
+# after the original HEADLINE froze for cross-round comparability. Timed in
+# the same session and emitted under separate keys ("value_v2",
+# "queries_v2") so the original total stays a like-for-like series while
+# these gain a perf history of their own.
+HEADLINE_V2 = [
+    "langid_ngram",         # trigram NB langid vs committed model table
+    "simhash_near_dup",     # 64-bit simhash, 4x16-bit band blocking
+    "lsh_cosine_buckets",   # hyperplane-LSH bucketing (committed planes)
+    "stream_politeness",    # applyInPandasWithState token-bucket stream
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -110,22 +122,31 @@ def main() -> None:
     # plan, not session startup.
     spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
 
-    timings: dict[str, float] = {}
     crawl_rows = 0
     crawl_sec = 0.0
-    for name in names:
-        best = None
-        rows = 0
-        for _ in range(args.repeat):
-            t0 = time.time()
-            df = qs[name](spark, args.sf_dir)
-            rows = df.count()   # full execution; driver collects separately
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        if name == "crawl_full":
-            crawl_rows, crawl_sec = rows, best
-        print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+
+    def run_set(set_names: list) -> dict:
+        nonlocal crawl_rows, crawl_sec
+        timings: dict[str, float] = {}
+        for name in set_names:
+            best = None
+            rows = 0
+            for _ in range(args.repeat):
+                t0 = time.time()
+                df = qs[name](spark, args.sf_dir)
+                rows = df.count()  # full execution; driver collects separately
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            if name == "crawl_full":
+                crawl_rows, crawl_sec = rows, best
+            print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+        return timings
+
+    timings = run_set(names)
+    # V2 tier runs AFTER the frozen set so it can never perturb the
+    # comparable series; skipped when --queries selects an explicit subset.
+    timings_v2 = run_set(HEADLINE_V2) if args.queries is None else {}
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -136,6 +157,9 @@ def main() -> None:
         "sf": sf,
         "cores": args.cores,
     }
+    if timings_v2:
+        out["value_v2"] = round(sum(timings_v2.values()), 3)
+        out["queries_v2"] = timings_v2
     out.update(control)
     if crawl_sec > 0:
         # articles stored / wall time of the full multi-epoch engine run —

@@ -685,7 +685,7 @@ def _langid_ngram_oracle_sql() -> str:
 @_q("langid_ngram", _langid_ngram_oracle_sql())
 def langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram naive-Bayes language ID against the committed model
-    table (web_crawler_spark/data/langid_trigrams_v1.parquet, trained by
+    table (web_crawler_spark/data/langid_trigrams_v2.parquet, trained by
     tools/gen_langid_trigrams.py) — the production langid; the stopword
     heuristic above stays as the cheap pre-filter."""
     model = spark.read.parquet(T.langid_model_path())
