@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -130,6 +130,12 @@ class CrawlConfig:
     #: semantics exactly: every live row is scheduled, however far out its
     #: next_fetch_ts.
     fetch_horizon: Optional[float] = None
+    #: OPT-IN live-fetch hook (S4-live): a callable DataFrame -> DataFrame
+    #: that appends (html binary, fetch_status string) to the scheduled
+    #: rows — build one with sources.live_fetch.make_live_fetcher. None
+    #: (default) keeps the input_hint contract: fetch = join against the
+    #: pages table.
+    fetch_via: Optional[Callable[[DataFrame], DataFrame]] = None
 
 
 class CrawlEngine:
@@ -352,22 +358,32 @@ class CrawlEngine:
         if salts:
             fresh = politeness.salted_repartition(fresh, salts).drop("host_salt")
         to_fetch = fresh.unionByName(lists.select(*fresh.columns))
-        fetched = to_fetch.join(
-            self.pages.select("url", "html"), on="url", how="left")
-        status = F.when(F.col("html").isNull(), F.lit("404"))
-        if cfg.fault_429:
-            # injected rate-limit faults (S5/T3): url 429s until its
-            # configured retry count is reached — drives the same backoff
-            # path a live fetcher would hit
-            fdf = self.spark.createDataFrame(
-                list(cfg.fault_429.items()), schema="url string, __fault_n int")
-            fetched = fetched.join(F.broadcast(fdf), "url", "left")
-            status = status.when(
-                F.col("__fault_n").isNotNull() &
-                (F.col("retries") < F.col("__fault_n")), F.lit("429"))
-        fetched = fetched.withColumn("fetch_status", status.otherwise(F.lit("ok")))
-        if cfg.fault_429:
-            fetched = fetched.drop("__fault_n")
+        if cfg.fetch_via is not None:
+            # capability-gated live path (sources/live_fetch.py): the
+            # callable appends html + fetch_status itself; real status
+            # codes (404/429/error) feed the same backoff machinery the
+            # synthetic statuses below do. fault_429 is a join-path test
+            # knob and deliberately does not compose here.
+            fetched = cfg.fetch_via(to_fetch)
+        else:
+            fetched = to_fetch.join(
+                self.pages.select("url", "html"), on="url", how="left")
+            status = F.when(F.col("html").isNull(), F.lit("404"))
+            if cfg.fault_429:
+                # injected rate-limit faults (S5/T3): url 429s until its
+                # configured retry count is reached — drives the same
+                # backoff path a live fetcher would hit
+                fdf = self.spark.createDataFrame(
+                    list(cfg.fault_429.items()),
+                    schema="url string, __fault_n int")
+                fetched = fetched.join(F.broadcast(fdf), "url", "left")
+                status = status.when(
+                    F.col("__fault_n").isNotNull() &
+                    (F.col("retries") < F.col("__fault_n")), F.lit("429"))
+            fetched = fetched.withColumn("fetch_status",
+                                         status.otherwise(F.lit("ok")))
+            if cfg.fault_429:
+                fetched = fetched.drop("__fault_n")
         # Combined extraction BEFORE the checkpoint, html dropped: one Arrow
         # pass per fetched row (lists → links, articles → parsed struct; the
         # UDF sees null html for non-ok rows so 404/429 rows cost nothing).
