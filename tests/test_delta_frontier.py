@@ -315,3 +315,10 @@ def test_engine_fetch_horizon_defers_far_future_rows(spark, tmp_path):
                                    request_delay=0.0))
     eng2.frontier.overwrite(due.unionByName(deferred), epoch=0)
     assert eng2.run_epoch(0)["frontier_out"] == 0
+    # an epoch where the horizon defers EVERY row must be a clean no-op:
+    # empty schedule through the whole pipeline, nothing lost or committed
+    eng3 = CrawlEngine(spark, str(tmp_path / "lake3"), pages, cfg)
+    eng3.frontier.overwrite(_rows(spark, 50, next_fetch_ts=1e9), epoch=0)
+    s3 = eng3.run_epoch(0)
+    assert s3["frontier_out"] == 50 and s3["articles_out"] == 0
+    assert eng3.frontier.read(spark).count() == 50
