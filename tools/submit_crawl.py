@@ -40,6 +40,12 @@ def main() -> None:
                     help="shared fixture cache (pages+seeds parquet); "
                          "reused across runs/parallelism levels so the "
                          "python fixture build happens once")
+    ap.add_argument("--fetch-horizon", type=float, default=None,
+                    help="opt-in frontier scan pruning: each epoch only "
+                         "considers rows with next_fetch_ts <= epoch_start "
+                         "+ horizon; deferred retries stay enqueued and "
+                         "their delta files are skipped via manifest "
+                         "min/max stats (default: off, full read)")
     args = ap.parse_args()
     if args.pages:
         ap.error("--pages (external corpus mode) is not wired yet: "
@@ -84,7 +90,8 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     seeds = spark.read.parquet(seeds_path)
 
-    eng = CrawlEngine(spark, args.workdir, pages, CrawlConfig())
+    eng = CrawlEngine(spark, args.workdir, pages,
+                      CrawlConfig(fetch_horizon=args.fetch_horizon))
     t0 = time.time()
     totals = eng.run(seeds, max_epochs=args.epochs)
     dt = time.time() - t0
