@@ -110,7 +110,10 @@ def main() -> None:
     spark = get_spark("bench", cores=args.cores)
     qs = entrymod.queries()
     names = (args.queries.split(",") if args.queries else HEADLINE)
-    unknown = [n for n in names if n not in qs]
+    # validate BOTH tiers up front: a lost @_q registration must fail fast
+    # with exit 2, not KeyError after the frozen suite already ran
+    v2 = HEADLINE_V2 if args.queries is None else []
+    unknown = [n for n in list(names) + v2 if n not in qs]
     if unknown:
         print(f"error: unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
@@ -146,7 +149,7 @@ def main() -> None:
     timings = run_set(names)
     # V2 tier runs AFTER the frozen set so it can never perturb the
     # comparable series; skipped when --queries selects an explicit subset.
-    timings_v2 = run_set(HEADLINE_V2) if args.queries is None else {}
+    timings_v2 = run_set(v2) if v2 else {}
 
     total = round(sum(timings.values()), 3)
     out = {

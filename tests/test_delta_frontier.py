@@ -315,10 +315,69 @@ def test_engine_fetch_horizon_defers_far_future_rows(spark, tmp_path):
                                    request_delay=0.0))
     eng2.frontier.overwrite(due.unionByName(deferred), epoch=0)
     assert eng2.run_epoch(0)["frontier_out"] == 0
-    # an epoch where the horizon defers EVERY row must be a clean no-op:
-    # empty schedule through the whole pipeline, nothing lost or committed
+    # an epoch where EVERY row is deferred must not starve or spin: the
+    # horizon fast-forwards (manifest min_stat, driver-side) to the
+    # earliest cohort and consumes it — the horizon is a scheduling
+    # preference ("no deferred scans while due work exists"), never a
+    # fence that loses rows (review r5 starvation fix)
     eng3 = CrawlEngine(spark, str(tmp_path / "lake3"), pages, cfg)
     eng3.frontier.overwrite(_rows(spark, 50, next_fetch_ts=1e9), epoch=0)
     s3 = eng3.run_epoch(0)
-    assert s3["frontier_out"] == 50 and s3["articles_out"] == 0
-    assert eng3.frontier.read(spark).count() == 50
+    assert eng3._horizon_skew > 0          # fast-forward engaged
+    assert s3["frontier_out"] == 0         # earliest cohort consumed
+    assert eng3.frontier.read(spark).count() == 0
+
+
+def test_fetch_horizon_converges_past_backoff_penalties(spark, tmp_path):
+    """Review r5: with request_delay=0 the virtual clock is FROZEN, so a
+    fixed horizon (epoch_start + 30) could never reach a 60 s backoff
+    penalty — the retried url would starve forever. The engine must
+    fast-forward the horizon (manifest min_stat / zero-progress skew) and
+    still fetch the victim."""
+    from web_crawler_spark import html_synth, refspec
+    web = html_synth.synth_web(n_articles=40, n_hosts=2, seed=13)
+    golden = refspec.simulate_crawl(web["pages"], web["seeds"])
+    victim = golden["articles"][0]["url"]
+    eng = CrawlEngine(spark, str(tmp_path / "w"),
+                      html_synth.pages_df(spark, web),
+                      CrawlConfig(request_delay=0.0, fetch_horizon=30.0,
+                                  fault_429={victim: 1}))
+    eng.run(html_synth.seeds_df(spark, web), max_epochs=8)
+    stored = {r["url"] for r in eng.articles.read(spark).collect()}
+    assert victim in stored, "429'd url starved behind the frozen horizon"
+    assert stored == {a["url"] for a in golden["articles"]}
+    assert eng.frontier.read(spark).count() == 0
+
+
+def test_read_applies_legacy_3key_deletes(spark, tmp_path):
+    """Round-5 upgrade compat: delete files written by the pre-round-5
+    format carry only (url, discovered_seq, retries, __del_epoch). A
+    resumed legacy workdir must stay readable — legacy dels join on the
+    3-key + sequence rule, new dels on the full equality key, in the same
+    table."""
+    import json as _json
+    t = DeltaFrontier(str(tmp_path / "f"), DDL)
+    t.overwrite(_rows(spark, 10), epoch=0)
+    # hand-write a LEGACY del dir killing rows 0-3 (sequence rule: only
+    # epoch_added <= 0) and register it in the manifest like old code did
+    legacy = _rows(spark, 4).select("url", "discovered_seq", "retries") \
+        .withColumn("__del_epoch", F.lit(0).cast("int"))
+    ldir = os.path.join(t.path, "del=1")
+    legacy.coalesce(1).write.parquet(ldir)
+    man = t._manifest()
+    man["dels"]["del=1"] = {"rows": 4, "bytes": _dir_bytes(ldir)}
+    t._write_manifest(man)
+    assert t.read(spark).count() == 6
+    # re-add one killed url with a NEWER epoch_added: the sequence rule
+    # must keep it alive (legacy semantics preserved)
+    t.commit_delta(2, t.stage_delta(
+        _rows(spark, 1, epoch_added=2),
+        _rows(spark, 0).select(*DeltaFrontier.KEY), 2))
+    assert t.read(spark).count() == 7
+    # and a NEW-format delete on the re-added row kills exactly it
+    t.commit_delta(3, t.stage_delta(
+        _rows(spark, 0, start=900),
+        _rows(spark, 1, epoch_added=2).select(*DeltaFrontier.KEY), 3))
+    live = t.read(spark).collect()
+    assert len(live) == 6
+    assert all(r.epoch_added == 0 for r in live)

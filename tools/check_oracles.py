@@ -67,9 +67,11 @@ def main():
         print(f"error: unknown queries: {sorted(unknown)}", file=sys.stderr)
         sys.exit(2)
     failures = []
-    for name, fn in qs.items():
+    n_checked = 0                      # incremented per query ACTUALLY run —
+    for name, fn in qs.items():        # NOT derived from the registry size
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -116,7 +118,6 @@ def main():
         else:
             print(f"ok   {name}: {len(srows)} rows match "
                   f"({time.time()-t0:.1f}s)")
-    n_checked = len(qs) if not only else len(only)
     print(f"\nchecked {n_checked}/{len(qs)} registered queries; "
           f"{len(failures)} failures" + (f": {failures}" if failures else ""))
     if not only and n_checked != len(qs):

@@ -162,6 +162,7 @@ class CrawlEngine:
                                      "shard int, bits binary")
         self._frontier_rows: Optional[int] = None  # carried across epochs
         self._articles_rows: Optional[int] = None  # running seen-set size
+        self._horizon_skew: float = 0.0  # fetch_horizon fast-forward (below)
         if self.cfg.robots_rules:
             from ..operators import robots
             merged = robots.host_delays(self.cfg.robots_rules,
@@ -281,8 +282,20 @@ class CrawlEngine:
         # next_fetch_ts is beyond this epoch's horizon (deferred retries
         # never scanned; they simply stay enqueued like budget-truncated
         # rows). Default None = reference semantics, full read.
-        due = (epoch_start_ts + cfg.fetch_horizon
-               if cfg.fetch_horizon is not None else None)
+        # _horizon_skew guards against starvation (review r5): the virtual
+        # clock epoch_start_ts can advance slower than backoff penalties —
+        # or not at all when request_delay=0 — so when the manifest proves
+        # NOTHING is due (min recorded next_fetch_ts beyond the horizon),
+        # the horizon fast-forwards to the earliest deferred cohort.
+        # Driver-side manifest arithmetic, no job; a larger horizon only
+        # widens eligibility, never skips a due row.
+        due = None
+        if cfg.fetch_horizon is not None:
+            due = epoch_start_ts + cfg.fetch_horizon + self._horizon_skew
+            mn = self.frontier.min_stat()
+            if mn is not None and mn > due:
+                self._horizon_skew += mn - due
+                due = mn
         frontier = self.frontier.read(self.spark, due_before=due)
 
         # 0) robots gate: disallowed paths never reach the scheduler. The
@@ -604,11 +617,23 @@ class CrawlEngine:
         # hand-edited frontier states.
         n_front_out = frontier_in - n_robots_dropped - n_sched_total + n_adds
         if n_front_out > 0 and n_sched_total == 0 and n_adds == 0:
-            # the recount runs pre-commit, so it still sees the rows this
-            # epoch's STAGED tombstones will remove — in this branch exactly
-            # the robots-dropped ones (nothing was scheduled)
-            n_front_out = (self.frontier.read(self.spark).count()
-                           - n_robots_dropped)
+            if cfg.fetch_horizon is not None:
+                # an all-deferred epoch fully explains zero progress and
+                # the arithmetic stays exact (nothing left or entered) —
+                # NO O(frontier) recount (review r5: the recount would
+                # defeat the pruning in exactly its target regime).
+                # Mixed files can still yield 0 due rows after the
+                # residual filter even past the min_stat fast-forward;
+                # bump the skew so the crawl converges instead of
+                # spinning on the same horizon.
+                self._horizon_skew += max(cfg.fetch_horizon, 1.0)
+            else:
+                # the recount runs pre-commit, so it still sees the rows
+                # this epoch's STAGED tombstones will remove — in this
+                # branch exactly the robots-dropped ones (nothing was
+                # scheduled)
+                n_front_out = (self.frontier.read(self.spark).count()
+                               - n_robots_dropped)
         _mark("frontier_stage")
         m = (cube.groupBy("host")
              .agg(F.sum("fetched_ok").alias("fetched"),

@@ -502,6 +502,18 @@ class DeltaFrontier:
                 f"{missing} — the table is corrupt")
         return dirs
 
+    def min_stat(self) -> Optional[float]:
+        """Smallest recorded per-file min of STATS_COL across committed add
+        files — driver-side manifest arithmetic, no job. None when no file
+        has stats (legacy snapshots). Used by the engine to fast-forward a
+        fetch horizon past an all-deferred frontier without scanning it."""
+        mn = None
+        for e in self._manifest()["adds"].values():
+            for rng in (e.get("stats") or {}).values():
+                if rng is not None:
+                    mn = rng[0] if mn is None else min(mn, rng[0])
+        return mn
+
     def _prune_paths(self, man: dict, due_before: float) -> list:
         """Manifest-stats file pruning (round-4 verdict Next #2): return the
         parquet paths that can contain a row with STATS_COL <= due_before.
@@ -550,15 +562,52 @@ class DeltaFrontier:
         del_dirs = self._committed_dirs(man, "dels")
         if not del_dirs:
             return base
-        dels = spark.read.parquet(*del_dirs)
-        n_dels = sum(m["rows"] for m in man["dels"].values())
-        if n_dels <= self.BROADCAST_DELS_MAX:
-            dels = F.broadcast(dels)
-        # pure equality on the full key — exact kills; see class docstring
-        # for why __del_epoch no longer needs to join (equality on
-        # epoch_added subsumes the sequence rule)
-        cond = [base[k] == dels[k] for k in self.KEY]
-        return base.join(dels, cond, "left_anti")
+        # Delete files written before round 5 carry only the 3-key +
+        # __del_epoch (the sequence-rule form) — a resumed legacy workdir
+        # must stay readable, so dels are split by footer schema (cached
+        # per dir) and each vintage gets its own anti-join semantics.
+        legacy_dirs, new_dirs = [], []
+        for d in del_dirs:
+            (new_dirs if self._del_dir_has_epoch_added(d)
+             else legacy_dirs).append(d)
+        rows_of = {os.path.join(self.path, n): m["rows"]
+                   for n, m in man["dels"].items()}
+
+        def _maybe_broadcast(df, dirs):
+            n = sum(rows_of.get(d, 0) for d in dirs)
+            return F.broadcast(df) if n <= self.BROADCAST_DELS_MAX else df
+
+        if new_dirs:
+            dels = _maybe_broadcast(spark.read.parquet(*new_dirs), new_dirs)
+            # pure equality on the full key — exact kills; see class
+            # docstring for why __del_epoch no longer needs to join
+            # (equality on epoch_added subsumes the sequence rule)
+            cond = [base[k] == dels[k] for k in self.KEY]
+            base = base.join(dels, cond, "left_anti")
+        if legacy_dirs:
+            ldels = _maybe_broadcast(spark.read.parquet(*legacy_dirs),
+                                     legacy_dirs)
+            cond = [base[k] == ldels[k]
+                    for k in ("url", "discovered_seq", "retries")]
+            cond.append(base["epoch_added"] <= ldels["__del_epoch"])
+            base = base.join(ldels, cond, "left_anti")
+        return base
+
+    def _del_dir_has_epoch_added(self, d: str) -> bool:
+        """Schema vintage of a committed delete dir, from ONE parquet
+        footer (local metadata read, memoized per dir — committed dirs are
+        immutable)."""
+        cache = getattr(self, "_del_schema_cache", None)
+        if cache is None:
+            cache = self._del_schema_cache = {}
+        if d not in cache:
+            import pyarrow.parquet as pq
+            fn = next((f for f in sorted(os.listdir(d))
+                       if f.endswith(".parquet")), None)
+            cache[d] = (fn is None or "epoch_added" in
+                        pq.ParquetFile(os.path.join(d, fn))
+                        .schema_arrow.names)
+        return cache[d]
 
     def maybe_compact(self, spark: SparkSession, epoch: int,
                       live_rows: Optional[int] = None) -> bool:

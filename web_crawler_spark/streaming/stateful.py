@@ -109,10 +109,19 @@ def stream_politeness_schedule(spark: SparkSession, requests: DataFrame,
         part.coalesce(1).write.mode("overwrite").parquet(stage)
         parts = [p for p in os.listdir(stage)
                  if p.startswith("part-") and p.endswith(".parquet")]
+        # skip EMPTY slices (clustered timestamps can leave a percentile
+        # range with no rows): Spark emits a part file even for a 0-row
+        # write, so the existence check alone is not enough — read the
+        # footer row count (local metadata, no job). An extra empty
+        # micro-batch is benign under NoTimeout but would fire state
+        # expiry if a processing-time timeout were ever configured.
         if parts:
-            f = os.path.join(src, f"slice-{i:03d}.parquet")
-            os.replace(os.path.join(stage, parts[0]), f)
-            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+            import pyarrow.parquet as pq
+            staged = os.path.join(stage, parts[0])
+            if pq.ParquetFile(staged).metadata.num_rows > 0:
+                f = os.path.join(src, f"slice-{i:03d}.parquet")
+                os.replace(staged, f)
+                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
         lo = hi
 
     stream = (spark.readStream.schema(req.schema)
