@@ -132,3 +132,53 @@ def test_sharded_probe_ors_unmerged_epoch_tables(spark, tmp_path):
              b.flag_maybe_seen(_urls(spark, 4000), bits=unmerged).collect()}
     assert all(flags[r.url] for r in e0.collect())   # no false negatives
     assert all(flags[r.url] for r in e1.collect())
+
+
+def test_sparse_append_equals_dense_everywhere(spark, tmp_path):
+    """Round 5: the sparse positions payload must be (a) byte-equal to the
+    dense build after or_merge densification, (b) probe-equal when mixed
+    dense+sparse rows coexist in one table, and (c) MUCH smaller than the
+    dense form for a small epoch on a big-capacity filter — the property
+    that makes the per-epoch seen_shards append O(bits set)."""
+    import numpy as np
+    b = dedup.BloomShards.sized_for(2_000_000)   # big capacity
+    small = _urls(spark, 5_000)                  # small epoch
+    dense_rows = {r.shard: bytes(r.bits)
+                  for r in b.build_bits_df(small).collect()}
+    sparse_rows = {r.shard: bytes(r.bits)
+                   for r in b.build_bits_df(small, sparse=True).collect()}
+    assert set(dense_rows) == set(sparse_rows)
+    dense_total = sum(len(v) for v in dense_rows.values())
+    sparse_total = sum(len(v) for v in sparse_rows.values())
+    assert sparse_total < dense_total / 10, (sparse_total, dense_total)
+    # (a) densify == dense, via the instance or_merge
+    p = str(tmp_path / "sparse")
+    b.build_bits_df(small, sparse=True).write.parquet(p)
+    merged = {r.shard: bytes(r.bits)
+              for r in b.or_merge_bits(spark.read.parquet(p)).collect()}
+    assert merged == dense_rows
+    # (b) mixed-format table probes identically to the all-dense reference
+    e1 = _urls(spark, 3_000, start=100_000)
+    p0, p1 = str(tmp_path / "d0"), str(tmp_path / "s1")
+    b.build_bits_df(small).write.parquet(p0)              # dense epoch
+    b.build_bits_df(e1, sparse=True).write.parquet(p1)    # sparse epoch
+    mixed = spark.read.parquet(p0).unionByName(spark.read.parquet(p1))
+    ref = dedup.BloomShards(n_shards=b.n_shards,
+                            n_bits_per_shard=b.n_bits,
+                            n_hashes=b.n_hashes)
+    ref.add_df(small.unionByName(e1))
+    cand = _urls(spark, 9_000)                   # seen + unseen + e1 range
+    got = {r.url: r["__maybe_seen"] for r in
+           b.flag_maybe_seen(cand, bits=mixed).collect()}
+    bh1, bh2 = dedup.bloom_hash_cols(F.col("url"))
+    want = {r.url: r.f for r in cand.select(
+        "url", ref.might_contain_udf()(bh1, bh2).alias("f")).collect()}
+    assert got == want
+    # (c) sparse payloads round-trip through _densify exactly
+    for s, payload in sparse_rows.items():
+        assert np.array_equal(dedup._densify(payload, b.n_bits),
+                              np.frombuffer(dense_rows[s], dtype="uint8"))
+    # static legacy call on an all-sparse group fails LOUD, not wrong
+    import pytest
+    with pytest.raises(Exception, match="all-sparse"):
+        dedup.BloomShards.or_merge_bits(spark.read.parquet(p)).collect()

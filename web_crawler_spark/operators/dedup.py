@@ -60,6 +60,48 @@ def _as_u64(s: pd.Series) -> np.ndarray:
     return s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
 
 
+#: sparse bits-payload header (round 5). A `bits` payload is either
+#:   * DENSE  — the raw shard bit array, length n_bits//8 (a power of two,
+#:     >= 128 by construction: n_bits is a pow2 >= 2^10), or
+#:   * SPARSE — magic + uint32-LE SET-BIT POSITIONS (sorted unique), padded
+#:     with one 0xFFFFFFFF sentinel iff the total length would be a power
+#:     of two.
+#: The discriminator is therefore structural, not probabilistic: a payload
+#: whose length is a power of two IS dense; anything else must carry the
+#: magic. Small epochs append positions (~4 B per set bit) instead of a
+#: capacity-sized zero array per touched shard — at the 10^10-URL filter a
+#: 1M-url epoch appends ~30 MB instead of ~16 GB of (mostly-zero) dense
+#: buffers, and compaction (or_merge_bits) re-densifies.
+_SPARSE_MAGIC = b"WCSSPOS1"
+_SPARSE_PAD = b"\xff\xff\xff\xff"
+
+
+def _sparse_payload(positions: np.ndarray) -> bytes:
+    body = _SPARSE_MAGIC + positions.astype("<u4").tobytes()
+    n = len(body)
+    if n >= 128 and (n & (n - 1)) == 0:     # never collide with dense pow2
+        body += _SPARSE_PAD
+    return body
+
+
+def _densify(payload, n_bits: int) -> np.ndarray:
+    """Decode a bits payload (dense or sparse) to the dense uint8 array."""
+    b = bytes(payload)
+    n = len(b)
+    if n == n_bits // 8:                    # pow2 by construction: dense
+        return np.frombuffer(b, dtype=np.uint8)
+    if b[:8] == _SPARSE_MAGIC:
+        pos = np.frombuffer(b, dtype="<u4", offset=8)
+        pos = pos[pos < n_bits]             # drop the pad sentinel
+        arr = np.zeros(n_bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(arr, (pos // 8).astype(np.int64),
+                         np.uint8(1) << (pos % 8).astype(np.uint8))
+        return arr
+    raise ValueError(
+        f"unrecognized bloom bits payload: {n} bytes for n_bits={n_bits} "
+        "(neither the dense length nor sparse-magic-prefixed)")
+
+
 class BloomShards:
     """Partitioned bloom filter: shard by xxhash64(url) % n_shards; each shard
     is an independent bit array sized for expected_per_shard at target fpp.
@@ -95,23 +137,36 @@ class BloomShards:
         return cls(n_shards=n_shards, n_bits_per_shard=m, n_hashes=min(k, 12))
 
     # -- build (distributed) -------------------------------------------------
-    def build_bits_df(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+    def build_bits_df(self, df: DataFrame, url_col: str = "url",
+                      sparse: bool = False) -> DataFrame:
         """Distributed shard build as a (shard, bits) DataFrame — no driver
         materialization. Hashing is entirely JVM-side (bloom_hash_cols):
         the applyInPandas stage receives precomputed (h1, h2) and only ORs
         bits — a vectorized numpy pass, no per-row Python anywhere. At
         10^10 URLs this is the stage whose output lands in the persisted
-        `seen_shards` lakehouse table (SURVEY §6) instead of the driver."""
+        `seen_shards` lakehouse table (SURVEY §6) instead of the driver.
+
+        ``sparse=True`` emits the positions payload when it is smaller
+        than the dense array (see _SPARSE_MAGIC): the per-epoch append
+        shape — an epoch's write cost becomes O(bits set), not
+        O(filter capacity). Every consumer (or_merge_bits, the cogroup
+        probe, add_df) decodes both formats via _densify."""
         n_bits, n_hashes = self.n_bits, self.n_hashes
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["__shard"].iloc[0])
-            arr = np.zeros(n_bits // 8, dtype=np.uint8)
             h1, h2 = _as_u64(pdf["__h1"]), _as_u64(pdf["__h2"])
-            for i in range(n_hashes):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
-                np.bitwise_or.at(arr, (idx // 8).astype(np.int64),
-                                 np.uint8(1) << (idx % 8).astype(np.uint8))
+            all_idx = np.concatenate([
+                (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                for i in range(n_hashes)])
+            if sparse:
+                pos = np.unique(all_idx)        # sorted unique positions
+                if 8 + 4 * len(pos) < n_bits // 8:
+                    return pd.DataFrame({"shard": [shard],
+                                         "bits": [_sparse_payload(pos)]})
+            arr = np.zeros(n_bits // 8, dtype=np.uint8)
+            np.bitwise_or.at(arr, (all_idx // 8).astype(np.int64),
+                             np.uint8(1) << (all_idx % 8).astype(np.uint8))
             return pd.DataFrame({"shard": [shard], "bits": [arr.tobytes()]})
 
         h1, h2 = bloom_hash_cols(F.col(url_col))
@@ -122,19 +177,39 @@ class BloomShards:
                 .groupBy("__shard")
                 .applyInPandas(build, schema="shard int, bits binary"))
 
-    @staticmethod
-    def or_merge_bits(shards: DataFrame) -> DataFrame:
-        """OR-combine multiple (shard, bits) rows per shard into one —
-        the incremental cross-epoch merge, executed where the shards live
-        (one exchange keyed on shard; the union of epoch shard tables never
-        visits the driver). Empty-bits rows are tolerated."""
+    def or_merge_bits(self_or_shards, shards: DataFrame = None) -> DataFrame:
+        """OR-combine multiple (shard, bits) rows per shard into one DENSE
+        row — the incremental cross-epoch merge (and the sparse-append
+        compaction), executed where the shards live (one exchange keyed on
+        shard; the union of epoch shard tables never visits the driver).
+        Empty-bits rows are tolerated; sparse rows are densified.
+
+        Callable both ways for API compat: BloomShards.or_merge_bits(df)
+        (dense-only legacy form, n_bits inferred from the first dense row)
+        or instance.or_merge_bits(df) (knows n_bits, decodes sparse)."""
+        if isinstance(self_or_shards, BloomShards):
+            n_bits = self_or_shards.n_bits
+        else:                                  # legacy static call
+            shards, n_bits = self_or_shards, None
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            nb = n_bits
+            if nb is None:
+                # dense rows are pow2-length; sparse decoding needs the
+                # true n_bits, so the static form requires >=1 dense row
+                lens = [len(b) for b in pdf["bits"] if b is not None
+                        and len(b) and bytes(b[:8]) != _SPARSE_MAGIC]
+                if not lens and any(b is not None and len(b)
+                                    for b in pdf["bits"]):
+                    raise ValueError(
+                        "or_merge_bits(static) on an all-sparse shard "
+                        "group: call it on the sized BloomShards instance")
+                nb = (max(lens) * 8) if lens else 0
             acc = None
             for b in pdf["bits"]:
                 if b is None or not len(b):    # tolerate empty-bits rows
                     continue
-                a = np.frombuffer(b, dtype=np.uint8)
+                a = _densify(b, nb)
                 acc = a.copy() if acc is None else acc | a
             if acc is None:                    # nothing real for this shard
                 return pd.DataFrame({"shard": pd.Series([], dtype="int32"),
@@ -150,7 +225,7 @@ class BloomShards:
         (the broadcast-probe form used at local scale). The driver-free
         variant is build_bits_df → seen-shards table → flag_maybe_seen."""
         for row in self.build_bits_df(df, url_col).collect():
-            arr = np.frombuffer(row["bits"], dtype=np.uint8).copy()
+            arr = _densify(row["bits"], self.n_bits).copy()
             if row["shard"] in self.bits:
                 self.bits[row["shard"]] |= arr
             else:
@@ -254,12 +329,13 @@ def _sharded_probe_fn(n_bits: int, n_hashes: int):
         # OR every row for this shard: an un-merged multi-epoch seen_shards
         # table has one row per epoch, and missing any of them would create
         # bloom FALSE NEGATIVES — the one failure mode the two-stage seen
-        # filter cannot tolerate (bloom-negative skips the exact anti-join)
+        # filter cannot tolerate (bloom-negative skips the exact anti-join).
+        # Rows may be dense or sparse (positions) payloads.
         arr = None
         for b in bpdf["bits"]:
             if b is None or not len(b):
                 continue
-            a = np.frombuffer(b, dtype=np.uint8)
+            a = _densify(b, n_bits)
             arr = a.copy() if arr is None else arr | a
         if arr is None:
             return cpdf.assign(__maybe_seen=False)

@@ -547,16 +547,21 @@ class CrawlEngine:
             # distributed (shard, bits) append, zero bytes through the
             # driver (the old add_df fold collected capacity-sized shard
             # arrays per epoch: ~12 GB/epoch at the 10^10-URL filter).
-            # Append-only with periodic or_merge compaction bounding the
-            # probe-side scan; fresh snapshot keys keep every commit
-            # crash-safe, and a replayed epoch's duplicate append is
-            # harmless (bloom OR is idempotent).
+            # sparse=True writes set-bit POSITIONS when smaller than the
+            # dense array (round 5): the append costs O(bits set), not
+            # O(capacity) — a 1M-url epoch against the 10^10 filter
+            # appends ~30 MB of positions instead of ~16 GB of mostly-zero
+            # dense buffers. Append-only with periodic or_merge compaction
+            # (re-densifies) bounding the probe-side scan; fresh snapshot
+            # keys keep every commit crash-safe, and a replayed epoch's
+            # duplicate append is harmless (bloom OR is idempotent).
             self.seen_shards.append(
-                bloom.build_bits_df(out_articles.select("url"), "url"),
+                bloom.build_bits_df(out_articles.select("url"), "url",
+                                    sparse=True),
                 self._seen_shards_key())
             if (len(self.seen_shards.committed_epochs())
                     > cfg.seen_shards_compact_after):
-                merged = dedup.BloomShards.or_merge_bits(
+                merged = bloom.or_merge_bits(
                     self.seen_shards.read(self.spark))
                 self.seen_shards.overwrite(merged, self._seen_shards_key())
         if self._articles_rows is not None:
