@@ -1,0 +1,103 @@
+"""Round-5 curation additions: transitive duplicate clusters (connected
+components), Gopher-style repetition metrics, PII scrubbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from web_crawler_spark.functions import text as T
+from web_crawler_spark.operators import dedup
+
+
+def _cc_map(df):
+    return {r["id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_connected_components_chain_and_isolated(spark):
+    # chain 1-2-3-4 plus pair 10-11 plus isolated 99 (via nodes)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(99,)], "id_a bigint")
+    got = _cc_map(dedup.connected_components(edges, nodes=nodes))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_min_label_multi_hop(spark):
+    # min id is at one END of a long chain: label must propagate the full
+    # diameter, not just one hop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a bigint, id_b bigint")
+    got = _cc_map(dedup.connected_components(edges))
+    assert set(got.values()) == {1} and len(got) == 9
+
+
+def test_duplicate_clusters_transitive_merge(spark):
+    # A~B and B~C above the 0.8 jaccard bar, A~C below it: pairwise dedup
+    # sees two pairs, cluster dedup must emit ONE 3-doc cluster.
+    toks = [f"w{i}" for i in range(40)]
+    a, b, c = toks[0:30], toks[3:33], toks[6:36]
+
+    def jac(x, y):
+        gx = {" ".join(x[i:i + 3]) for i in range(len(x) - 2)}
+        gy = {" ".join(y[i:i + 3]) for i in range(len(y) - 2)}
+        return len(gx & gy) / len(gx | gy)
+
+    assert jac(a, b) >= 0.8 and jac(b, c) >= 0.8 and jac(a, c) < 0.8
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c)),
+         (9, "totally unrelated text about nothing at all")],
+        "doc_id bigint, text string")
+    out = dedup.duplicate_clusters(docs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 9: (9, 1)}
+
+
+def test_repetition_metrics_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"),   # 2g: ab,ba,ab,bc -> tot 4 top 2; 3g: no dups
+         (2, "x x x x"),     # 2g: xx*3 -> tot 3 top 3; 3g: xxx*2 -> dup 2
+         (3, ""),            # no tokens
+         (4, "solo")],       # one token: no n-grams
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           T.repetition_metrics(docs).collect()}
+    assert got[1] == {"doc_id": 1, "total_2grams": 4, "top_2gram_count": 2,
+                      "total_3grams": 3, "dup_3gram_count": 0}
+    assert got[2] == {"doc_id": 2, "total_2grams": 3, "top_2gram_count": 3,
+                      "total_3grams": 2, "dup_3gram_count": 2}
+    for i in (3, 4):
+        assert got[i]["total_2grams"] == 0 and got[i]["total_3grams"] == 0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or d@e.org now, call 555-0142 ok"),
+         (2, "no pii here at all")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.pii_scrub(docs).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 1
+    assert got[1]["clean_text"] == \
+        "mail <EMAIL> or <EMAIL> now, call <PHONE> ok"
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+    assert got[2]["clean_text"] == "no pii here at all"
+
+
+@pytest.mark.parametrize("name", ["dedup_clusters", "gopher_repetition",
+                                  "pii_redact"])
+def test_new_queries_match_oracle_sf0001(spark, name):
+    """Value-exact vs DuckDB at sf0.001 (the driver gate runs sf0.01)."""
+    import duckdb
+
+    from web_crawler_spark.driver_queries import ORACLES, QUERIES
+    sf = "/root/testdata/sf0.001"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    odf = con.execute(ORACLES[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(s) == len(o) and len(s) > 0
+    for c in cols:
+        assert (s[c].astype(str).values == o[c].astype(str).values).all(), c

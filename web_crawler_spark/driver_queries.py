@@ -1406,3 +1406,125 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal
     media = multimodal.media_from_documents(spark, sf_dir)
     return multimodal.sample_frames(media, every_ms=2000)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curation additions: transitive duplicate clusters, Gopher-style
+# repetition signals, PII scrubbing
+# ---------------------------------------------------------------------------
+
+@_q("dedup_clusters", """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200),
+    grams AS (
+      SELECT doc_id, list_distinct(
+          [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           for i in generate_series(1, len(t) - 2)]) AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM corpus)),
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+            len(list_distinct(a.g || b.g)) >= 0.8),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
+    FROM comp JOIN (SELECT cluster_id, count(*) AS cluster_size
+                    FROM comp GROUP BY cluster_id) sz USING (cluster_id)""")
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the planted near-dup corpus:
+    MinHash+LSH pairs (the minhash_near_dup edge set — provably equal to
+    exact all-pairs Jaccard>=0.8 at these band parameters) → min-label
+    connected components → (doc_id, cluster_id, cluster_size). The oracle
+    recomputes the same components with a recursive CTE, so the iterative
+    Spark plan is value-checked end-to-end, including transitivity the
+    pairwise ops can't see (A~B, B~C merges A,B,C even when A!~C)."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+         .select("doc_id", "text"))
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return dedup.duplicate_clusters(d.unionByName(dup))
+
+
+@_q("gopher_repetition", """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents),
+    g2 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                 for i in generate_series(1, len(t) - 1)]) AS g
+            FROM toks)
+      GROUP BY doc_id, g),
+    a2 AS (SELECT doc_id, sum(c) AS total_2grams, max(c) AS top_2gram_count
+           FROM g2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 for i in generate_series(1, len(t) - 2)]) AS g
+            FROM toks)
+      GROUP BY doc_id, g),
+    a3 AS (SELECT doc_id, sum(c) AS total_3grams,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_3gram_count
+           FROM g3 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(total_2grams, 0) AS BIGINT) AS total_2grams,
+           CAST(coalesce(top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
+           CAST(coalesce(total_3grams, 0) AS BIGINT) AS total_3grams,
+           CAST(coalesce(dup_3gram_count, 0) AS BIGINT) AS dup_3gram_count
+    FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+    """)
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher quality rules): top-2-gram
+    share and duplicate-3-gram share as exact integer num/denom pairs."""
+    return T.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@_q("pii_redact", f"""
+    WITH payload AS (
+      SELECT doc_id,
+             trim(text)
+             || CASE WHEN doc_id % 3 <> 0
+                     THEN ' reach me at user' || doc_id
+                          || '@mail.example.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' call 555-01'
+                          || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                     ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{T.PII_EMAIL_RE}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{T.PII_PHONE_RE}')) AS INT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{T.PII_EMAIL_RE}',
+                                             '<EMAIL>', 'g'),
+                              '{T.PII_PHONE_RE}', '<PHONE>', 'g'))
+               AS clean_md5
+    FROM payload""")
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically injected contact info
+    (the synthetic corpus has none): email/phone counts + md5 of the
+    redacted text, value-checked against the RE2 restatement."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    payload = F.concat(
+        F.trim(F.col("text")),
+        F.when(did % 3 != 0,
+               F.concat(F.lit(" reach me at user"), did.cast("string"),
+                        F.lit("@mail.example.org"))).otherwise(F.lit("")),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(" call 555-01"),
+                        F.lpad((did % 100).cast("string"), 2, "0")))
+        .otherwise(F.lit("")))
+    out = T.pii_scrub(d.withColumn("t", payload), "t")
+    return out.select("doc_id", "n_emails", "n_phones",
+                      F.md5(F.col("clean_text")).alias("clean_md5"))

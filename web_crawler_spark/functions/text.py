@@ -192,3 +192,80 @@ def winnow_fingerprints_udf(k: int = 5, window: int = 4):
             out.append([int(x) for x in sel.astype(np.int64)])
         return pd.Series(out)
     return _winnow
+
+
+def ngrams_col(text, n: int):
+    """All word n-grams WITH multiplicity (repetition analysis needs counts,
+    unlike the dedup shingles which distinct first)."""
+    toks = tokens_col(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): the fraction of all 2-grams taken
+    by the single most frequent 2-gram, and the fraction of 3-grams that are
+    repeats. Emitted as exact BIGINT numerator/denominator pairs (the
+    langid/BPE integer discipline — ratios are derivable, and the value
+    oracle never has to compare rounded doubles):
+
+        (doc_id, total_2grams, top_2gram_count, total_3grams,
+         dup_3gram_count)
+
+    Shape at scale: explode → two-level groupBy — the per-(doc, gram) count
+    is a map-side partial agg, the per-doc rollup shuffles one row per
+    distinct gram, and the doc's text never leaves the scan stage. Docs too
+    short to have an n-gram report 0/0.
+    """
+    base = df.select(F.col(id_col))
+
+    def per_n(n: int, total_name: str, agg_col, agg_name: str) -> DataFrame:
+        g = (df.select(F.col(id_col),
+                       F.explode(ngrams_col(F.col(text_col), n)).alias("g"))
+             .groupBy(id_col, "g").agg(F.count("*").alias("c"))
+             .groupBy(id_col)
+             .agg(F.sum("c").alias(total_name), agg_col.alias(agg_name)))
+        return g
+
+    two = per_n(2, "total_2grams", F.max("c"), "top_2gram_count")
+    three = per_n(
+        3, "total_3grams",
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))),
+        "dup_3gram_count")
+    out = (base.join(two, id_col, "left").join(three, id_col, "left"))
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        id_col,
+        F.coalesce("total_2grams", zero).alias("total_2grams"),
+        F.coalesce("top_2gram_count", zero).alias("top_2gram_count"),
+        F.coalesce("total_3grams", zero).alias("total_3grams"),
+        F.coalesce("dup_3gram_count", zero).alias("dup_3gram_count"))
+
+
+# PII scrubbing (training-data curation: strip contact info before a corpus
+# ships). Patterns are spelled to mean the same thing in Java regex (Spark)
+# and RE2 (the DuckDB oracle): character classes, escaped dot, bounded
+# repetition only — no lookaround, no \s dialect drift (the langid lesson).
+PII_EMAIL_RE = "[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "555-01[0-9]{2}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact email/phone PII: appends int `n_emails`/`n_phones`
+    and `clean_text` with every match replaced by a typed placeholder.
+    Pure JVM regexp built-ins (regexp_count / regexp_replace) — whole-stage
+    codegen keeps this a single scan-stage projection at any scale."""
+    c = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return (df
+            .withColumn("n_emails",
+                        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("int"))
+            .withColumn("n_phones",
+                        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("int"))
+            .withColumn("clean_text", clean))

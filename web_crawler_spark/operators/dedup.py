@@ -556,3 +556,73 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", nodes: Optional[DataFrame] = None,
+                         max_iters: int = 50) -> DataFrame:
+    """Connected components over an undirected edge list → (id, cluster_id)
+    where cluster_id is the component's min node id.
+
+    Min-label propagation: every round each node takes the min label among
+    itself and its neighbors — one shuffle keyed on node id per round —
+    and converges in O(component diameter) rounds. Near-dup clusters are
+    near-cliques (diameter ≲ 3 regardless of corpus size), so the round
+    count is constant at 100 TB while each round stays a plain partial-agg
+    shuffle; the O(log n) large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC '14) is the
+    published fallback if adversarial chain graphs ever matter. Each round
+    localCheckpoint()s the label table (iterative lineage otherwise grows
+    without bound) and detects convergence from the SAME materialization
+    (a count on the checkpointed frame — no extra scan of the join).
+
+    `nodes` (optional, one `src`-named id column) adds isolated nodes that
+    appear in no edge; they come back as their own singleton cluster.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    ids = sym.select(F.col("u").alias("id")).distinct()
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col(src).alias("id"))).distinct()
+    labels = ids.select("id", F.col("id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (sym.join(labels, sym["v"] == labels["id"])
+               .groupBy("u").agg(F.min("cluster_id").alias("nbr_min")))
+        nxt = (labels.join(nbr, labels["id"] == nbr["u"], "left")
+               .select(labels["id"],
+                       F.least(F.col("cluster_id"),
+                               F.coalesce(F.col("nbr_min"),
+                                          F.col("cluster_id")))
+                       .alias("cluster_id"),
+                       (F.col("nbr_min") < F.col("cluster_id"))
+                       .alias("__changed")))
+        nxt = nxt.localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("__changed")).count()
+        labels = nxt.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       bands: int = 32, shingle_n: int = 3,
+                       jaccard_threshold: float = 0.8) -> DataFrame:
+    """Duplicate-cluster assignment: MinHash+LSH near-dup pairs →
+    connected components → one canonical doc per cluster (the min id —
+    the order-preserving choice D1 also makes). Returns every input doc as
+    (doc_id, cluster_id, cluster_size); docs with no near-dup are their own
+    singleton cluster. This is the curation step after pairwise near-dup:
+    transitive closure turns A~B, B~C into ONE kept doc, where pair-level
+    dedup would keep two. Pairs and components shuffle only ids (8 B) —
+    text stays confined to the LSH verify kernel."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes=num_hashes,
+                              bands=bands, shingle_n=shingle_n,
+                              jaccard_threshold=jaccard_threshold)
+    all_ids = df.select(F.col(id_col).alias("id_a"))
+    cc = connected_components(pairs, nodes=all_ids)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (cc.join(sizes, "cluster_id")
+            .select(F.col("id").alias(id_col), "cluster_id", "cluster_size"))
