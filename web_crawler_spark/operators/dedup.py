@@ -582,6 +582,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"),
                                  F.col("u").alias("v")))
+    # materialize the edge list ONCE: it is re-joined every round, and the
+    # upstream plan may be expensive (duplicate_clusters feeds the whole
+    # minhash+LSH+verify pipeline in here — recomputing it per round turned
+    # a 2-round convergence into 2 extra full LSH passes)
+    sym = sym.localCheckpoint(eager=True)
     ids = sym.select(F.col("u").alias("id")).distinct()
     if nodes is not None:
         ids = ids.unionByName(nodes.select(F.col(src).alias("id"))).distinct()
