@@ -116,3 +116,18 @@ def test_delta_frontier_read_broadcasts_small_delete_set(spark, tmp_path):
     plan = _plan(t.read(spark))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+
+
+def test_curation_ops_stay_jvm_side(spark):
+    """gopher_repetition and pii_redact are pure built-in expressions: no
+    Python boundary of ANY kind may appear in their plans (the repetition
+    rollup must also keep its two-level agg shape — a partial_count under
+    the per-(doc, gram) HashAggregate proves map-side combine)."""
+    from web_crawler_spark.driver_queries import QUERIES
+    for name in ("gopher_repetition", "pii_redact"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in plan, (name, marker)
+    plan = _plan(QUERIES["gopher_repetition"](spark, SF_DIR))
+    assert "partial_count" in plan
