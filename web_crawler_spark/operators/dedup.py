@@ -512,12 +512,18 @@ def simhash_udf():
     @pandas_udf("bigint")
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
+        # token→hash memo shared across the Arrow batch: token frequency is
+        # Zipfian, so most md5 calls are repeats of a small head vocabulary
+        memo: dict = {}
         for j, t in enumerate(texts):
             toks = sorted(set((t or "").split()))
             if not toks:
                 continue
+            for tok in toks:
+                if tok not in memo:
+                    memo[tok] = md5_lower64(tok.encode())
             hs = np.fromiter(
-                (md5_lower64(tok.encode()) for tok in toks),
+                (memo[tok] for tok in toks),
                 dtype=np.uint64, count=len(toks))
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
                     np.uint64(1)).astype(np.int32)
