@@ -101,3 +101,37 @@ def test_new_queries_match_oracle_sf0001(spark, name):
     assert len(s) == len(o) and len(s) > 0
     for c in cols:
         assert (s[c].astype(str).values == o[c].astype(str).values).all(), c
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graphs (cycles, stars, forests) vs a pure union-find
+    oracle — pins the iterative min-label plan against the textbook answer
+    on shapes the planted-corpus oracle never produces."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for trial, (n, m) in enumerate([(20, 8), (20, 25), (12, 0), (30, 60)]):
+        edges = [(int(a), int(b)) for a, b in
+                 rng.randint(0, n, size=(m, 2)) if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {i: find(i) for i in range(n)}
+
+        edf = spark.createDataFrame(edges or [(0, 0)],
+                                    "id_a bigint, id_b bigint")
+        if not edges:
+            edf = edf.filter("id_a <> id_a")  # empty edge list
+        ndf = spark.createDataFrame([(i,) for i in range(n)], "id_a bigint")
+        got = {r["id"]: r["cluster_id"] for r in
+               dedup.connected_components(edf, nodes=ndf).collect()}
+        assert got == expect, f"trial {trial}"
