@@ -82,7 +82,7 @@ def test_pii_scrub_counts_and_redaction(spark):
 
 
 @pytest.mark.parametrize("name", ["dedup_clusters", "gopher_repetition",
-                                  "pii_redact"])
+                                  "pii_redact", "substring_dup_spans"])
 def test_new_queries_match_oracle_sf0001(spark, name):
     """Value-exact vs DuckDB at sf0.001 (the driver gate runs sf0.01)."""
     import duckdb
@@ -135,3 +135,26 @@ def test_connected_components_random_vs_union_find(spark):
         got = {r["id"]: r["cluster_id"] for r in
                dedup.connected_components(edf, nodes=ndf).collect()}
         assert got == expect, f"trial {trial}"
+
+
+def test_exact_substring_spans_golden(spark):
+    """k=3 hand case: a cross-doc shared run becomes the same maximal span
+    in both docs; touching intra-doc repeats merge into one span; docs with
+    no duplicated grams (or < k tokens) emit nothing; whitespace is
+    normalized before tokenizing."""
+    docs = spark.createDataFrame(
+        [(1, "  a  b c d e f g h "),    # shares tokens 2..6 with doc 2
+         (2, "x y c d e f g w"),
+         (3, "m n o p m n o p"),        # intra-doc repeat, runs touch
+         (4, "q r s"),                  # unique gram
+         (5, "t u")],                   # < k tokens
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           dedup.exact_substring_spans(docs, k=3).collect()}
+    assert got[1] == {"doc_id": 1, "span_start": 2, "span_end": 7,
+                      "span_len": 5}
+    assert got[2] == {"doc_id": 2, "span_start": 2, "span_end": 7,
+                      "span_len": 5}
+    assert got[3] == {"doc_id": 3, "span_start": 0, "span_end": 8,
+                      "span_len": 8}
+    assert set(got) == {1, 2, 3}

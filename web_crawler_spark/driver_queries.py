@@ -1528,3 +1528,61 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = T.pii_scrub(d.withColumn("t", payload), "t")
     return out.select("doc_id", "n_emails", "n_phones",
                       F.md5(F.col("clean_text")).alias("clean_md5"))
+
+
+@_q("substring_dup_spans", """
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    btoks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM base),
+    planted AS (
+      SELECT doc_id + 100000 AS doc_id,
+             'pad' || doc_id || ' ' || array_to_string(t[5:44], ' ')
+                   || ' tail' || doc_id AS text
+      FROM btoks WHERE doc_id % 5 = 0),
+    corpus AS (SELECT doc_id, text FROM base
+               UNION ALL SELECT doc_id, text FROM planted),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM corpus),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(t) - 8)) AS pos,
+             unnest([md5(array_to_string(t[i + 1:i + 8], ' '))
+                     for i in generate_series(0, len(t) - 8)]) AS g
+      FROM toks WHERE len(t) >= 8),
+    hits AS (
+      SELECT doc_id, pos FROM grams
+      WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos > prev + 8
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits))
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 8 AS INT) AS span_end,
+           CAST(max(pos) + 8 - min(pos) AS INT) AS span_len
+    FROM isl GROUP BY doc_id, island""")
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplicate spans (suffix-array dedup family, as
+    k=8-token rolling grams): the corpus is documents(doc_id<300) plus, for
+    every fifth doc, a planted doc that shares tokens 5..44 but has unique
+    pad/tail edges — so the op must find PARTIAL overlaps (the shared run),
+    not whole-document duplicates. Output is (doc_id, span_start, span_end,
+    span_len) maximal duplicated-token spans, end-exclusive, value-checked
+    against a DuckDB restatement of the same gram/island pipeline."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+         .select("doc_id", "text"))
+    toks = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    did = F.col("doc_id")
+    planted = (d.filter(did % 5 == 0)
+               .select((did + 100000).alias("doc_id"),
+                       F.concat(F.lit("pad"), did.cast("string"), F.lit(" "),
+                                F.array_join(F.slice(toks, 5, 40), " "),
+                                F.lit(" tail"), did.cast("string"))
+                       .alias("text")))
+    return dedup.exact_substring_spans(d.unionByName(planted), k=8)
