@@ -158,3 +158,49 @@ def test_exact_substring_spans_golden(spark):
     assert got[3] == {"doc_id": 3, "span_start": 0, "span_end": 8,
                       "span_len": 8}
     assert set(got) == {1, 2, 3}
+
+
+def test_exact_substring_spans_random_vs_bruteforce(spark):
+    """Randomized equivalence: small token alphabet (dense accidental
+    repeats — heavy intra-doc duplication, overlapping runs, islands that
+    touch exactly at pos+k) vs an independent brute-force span merger."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    k = 3
+
+    def brute(docs):
+        toks = {i: re.sub(r"\s+", " ", t.strip()).split(" ")
+                for i, t in docs}
+        grams = [(i, p, " ".join(tk[p:p + k]))
+                 for i, tk in toks.items() if len(tk) >= k
+                 for p in range(len(tk) - k + 1)]
+        cnt = Counter(g for _, _, g in grams)
+        hits: dict = {}
+        for i, p, g in grams:
+            if cnt[g] >= 2:
+                hits.setdefault(i, []).append(p)
+        out = set()
+        for i, ps in sorted(hits.items()):
+            ps.sort()
+            start = prev = ps[0]
+            for p in ps[1:]:
+                if p > prev + k:
+                    out.add((i, start, prev + k, prev + k - start))
+                    start = p
+                prev = p
+            out.add((i, start, prev + k, prev + k - start))
+        return out
+
+    rng = np.random.RandomState(1234)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(4):
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 26))))
+                for i in range(15)]
+        sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+               for r in dedup.exact_substring_spans(sdf, k=k).collect()}
+        assert got == brute(docs), f"trial {trial}"
