@@ -82,7 +82,9 @@ def test_pii_scrub_counts_and_redaction(spark):
 
 
 @pytest.mark.parametrize("name", ["dedup_clusters", "gopher_repetition",
-                                  "pii_redact", "substring_dup_spans"])
+                                  "pii_redact", "substring_dup_spans",
+                                  "decontam_flags", "boilerplate_strip",
+                                  "pack_sequences"])
 def test_new_queries_match_oracle_sf0001(spark, name):
     """Value-exact vs DuckDB at sf0.001 (the driver gate runs sf0.01)."""
     import duckdb
@@ -204,3 +206,113 @@ def test_exact_substring_spans_random_vs_bruteforce(spark):
         got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
                for r in dedup.exact_substring_spans(sdf, k=k).collect()}
         assert got == brute(docs), f"trial {trial}"
+
+
+def test_contamination_flags_planted(spark):
+    toks = [f"w{i}" for i in range(30)]
+    bench_snippet = " ".join(toks[5:18])        # 13 tokens
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)),                   # contains the snippet
+         (2, " ".join(toks[5:18])),             # IS the snippet exactly
+         (3, " ".join(reversed(toks))),         # same vocab, no shared gram
+         (4, "short doc")],                     # < 13 tokens
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([(100, bench_snippet)],
+                                  "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["contaminated"], r["n_contaminated_grams"])
+           for r in dedup.contamination_flags(docs, bench).collect()}
+    assert got == {1: (True, 1), 2: (True, 1),
+                   3: (False, 0), 4: (False, 0)}
+
+
+def test_contamination_flags_counts_distinct_grams(spark):
+    # a doc repeating the contaminated gram twice still counts it ONCE;
+    # two different bench grams in one doc count as 2
+    toks = [f"w{i}" for i in range(13)]
+    g1 = " ".join(toks)
+    g2 = " ".join(f"v{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, g1 + " SEP " + g1), (2, g1 + " " + g2)],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([(100, g1), (101, g2)],
+                                  "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in dedup.contamination_flags(docs, bench).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_remove_boilerplate_lines_semantics(spark):
+    # header shared by 5 docs of host A -> stripped there; the SAME line on
+    # host B appears twice -> kept (df below threshold, per-group rule);
+    # body order preserved; counts exact
+    rows = [(i, "A", "HEADER\nbody %d line one\nbody %d line two\nFOOTER"
+             % (i, i)) for i in range(5)]
+    rows += [(10, "B", "HEADER\nunique b text\nFOOTER"),
+             (11, "B", "HEADER\nother b text\nFOOTER")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, "
+                                       "text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           T.remove_boilerplate_lines(docs, min_doc_freq=5).collect()}
+    assert out[0]["clean_text"] == "body 0 line one\nbody 0 line two"
+    assert out[0]["n_lines_kept"] == 2 and out[0]["n_lines_removed"] == 2
+    # host B never crosses df>=5: everything kept verbatim
+    assert out[10]["clean_text"] == "HEADER\nunique b text\nFOOTER"
+    assert out[10]["n_lines_removed"] == 0 and out[10]["n_lines_kept"] == 3
+
+
+def test_remove_boilerplate_in_doc_repeat_not_boilerplate(spark):
+    # a line repeated WITHIN one doc is not boilerplate (doc frequency, not
+    # occurrence count): df counts distinct docs
+    rows = [(1, "A", "echo\necho\necho\necho\necho"),
+            (2, "A", "something else")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, "
+                                       "text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           T.remove_boilerplate_lines(docs, min_doc_freq=2).collect()}
+    assert out[1]["n_lines_removed"] == 0 and out[1]["n_lines_kept"] == 5
+
+
+def test_pack_sequences_invariants(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(f"g{g}", i, int(n)) for g in range(3)
+            for i, n in enumerate(rng.randint(1, 120, size=40))]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, "
+                                     "n_tok bigint")
+    budget = 64
+    from web_crawler_spark.operators import packing
+    out = packing.pack_sequences(df, "n_tok", budget).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    totals = {f"g{g}": sum(n for s, i, n in rows if s == f"g{g}")
+              for g in range(3)}
+    for g, bins in by_group.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        # bins are contiguous from 0 and all full except the last
+        assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+        for b in bins[:-1]:
+            assert b["n_tokens"] == budget, b
+        # token conservation: the chunking loses nothing
+        assert sum(b["n_tokens"] for b in bins) == totals[g]
+        assert 1 <= bins[-1]["n_tokens"] <= budget
+        # consecutive bins meet exactly at a doc boundary or share the
+        # boundary-crossing doc
+        for a, b in zip(bins, bins[1:]):
+            assert b["first_doc"] in (a["last_doc"], a["last_doc"] + 1)
+
+
+def test_pack_sequences_doc_spanning_many_bins(spark):
+    # one 300-token doc at budget 64 spans ceil(300/64)=5 bins and is
+    # counted in each; a following 10-token doc shares the 5th bin
+    df = spark.createDataFrame([("g", 1, 300), ("g", 2, 10)],
+                               "source string, doc_id bigint, n_tok bigint")
+    from web_crawler_spark.operators import packing
+    out = {r["bin_id"]: r.asDict()
+           for r in packing.pack_sequences(df, "n_tok", 64).collect()}
+    assert len(out) == 5
+    assert all(out[b]["n_tokens"] == 64 for b in range(4))
+    assert out[4]["n_tokens"] == 300 - 4 * 64 + 10
+    assert out[4]["n_docs"] == 2 and out[4]["first_doc"] == 1 \
+        and out[4]["last_doc"] == 2

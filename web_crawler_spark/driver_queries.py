@@ -25,7 +25,7 @@ from .functions import bpe
 from .functions import canonicalize as canon
 from .functions import extract as ex
 from .functions import text as T
-from .operators import dedup, similarity
+from .operators import dedup, packing, similarity
 from .plans.epoch import CrawlConfig, CrawlEngine
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1586,3 +1586,141 @@ def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit(" tail"), did.cast("string"))
                        .alias("text")))
     return dedup.exact_substring_spans(d.unionByName(planted), k=8)
+
+
+@_q("decontam_flags", """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM docs),
+    bench AS (
+      SELECT doc_id, array_to_string(t[4:16], ' ') AS text
+      FROM toks WHERE doc_id % 17 = 0),
+    btoks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM bench),
+    bgrams AS (
+      SELECT DISTINCT unnest([md5(array_to_string(t[i + 1:i + 13], ' '))
+                              for i in generate_series(0, len(t) - 13)]) AS g
+      FROM btoks WHERE len(t) >= 13),
+    dgrams AS (
+      SELECT DISTINCT doc_id,
+             unnest([md5(array_to_string(t[i + 1:i + 13], ' '))
+                     for i in generate_series(0, len(t) - 13)]) AS g
+      FROM toks WHERE len(t) >= 13),
+    hits AS (
+      SELECT doc_id, count(*) AS n FROM dgrams
+      WHERE g IN (SELECT g FROM bgrams) GROUP BY doc_id)
+    SELECT d.doc_id,
+           (h.n IS NOT NULL) AS contaminated,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams
+    FROM docs d LEFT JOIN hits h USING (doc_id)""")
+def decontam_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C 13-gram rule): the
+    "benchmark" is a deterministic 13-token snippet (tokens 4..16) of every
+    17th document — simulating eval prompts drawn from the crawl — and every
+    document sharing any 13-gram with it is flagged. Exercises the
+    broadcast-benchmark / map-side-corpus plan in
+    dedup.contamination_flags."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+         .select("doc_id", "text"))
+    toks = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    bench = (d.filter(F.col("doc_id") % 17 == 0)
+             .select("doc_id",
+                     F.array_join(F.slice(toks, 4, 13), " ").alias("text")))
+    return dedup.contamination_flags(d, bench, k=13)
+
+
+@_q("boilerplate_strip", """
+    WITH base AS (SELECT doc_id, source, text FROM documents
+                  WHERE doc_id < 400),
+    toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM base),
+    docs AS (
+      SELECT doc_id, source,
+             'NAV home about contact ' || source || chr(10) ||
+             coalesce(array_to_string(t[1:12], ' '), '') || chr(10) ||
+             'doc ' || doc_id || ' '
+               || coalesce(array_to_string(t[13:20], ' '), '')
+               || chr(10) ||
+             'COOKIE banner accept all ' || source AS text
+      FROM toks),
+    arrs AS (SELECT doc_id, source, string_split(text, chr(10)) AS arr
+             FROM docs),
+    lp AS (
+      SELECT doc_id, source,
+             unnest(generate_series(1, len(arr))) AS pos,
+             unnest(arr) AS line
+      FROM arrs),
+    boiler AS (
+      SELECT source, md5(line) AS h FROM lp
+      GROUP BY source, md5(line) HAVING count(DISTINCT doc_id) >= 5),
+    flag AS (
+      SELECT lp.doc_id, lp.source, lp.pos, lp.line,
+             (b.h IS NOT NULL) AS is_b
+      FROM lp LEFT JOIN boiler b
+        ON b.source = lp.source AND b.h = md5(lp.line))
+    SELECT doc_id, source,
+           coalesce(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                               ORDER BY pos) FILTER (WHERE NOT is_b),
+                    '') AS clean_text,
+           CAST(count(*) FILTER (WHERE NOT is_b) AS BIGINT)
+             AS n_lines_kept,
+           CAST(count(*) FILTER (WHERE is_b) AS BIGINT)
+             AS n_lines_removed
+    FROM flag GROUP BY doc_id, source""")
+def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal. Each document is rendered as a
+    4-line page — a per-source NAV header, two body lines (one globally
+    unique), and a per-source COOKIE footer — so the per-(source, line)
+    doc-frequency rollup must strip exactly the two template lines from
+    every doc while preserving body order. Value-checked against a DuckDB
+    restatement of the same df>=5 rule."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    did = F.col("doc_id").cast("string")
+    pages = d.select(
+        "doc_id", "source",
+        F.concat_ws("\n",
+                    F.concat(F.lit("NAV home about contact "),
+                             F.col("source")),
+                    F.array_join(F.slice(toks, 1, 12), " "),
+                    F.concat(F.lit("doc "), did, F.lit(" "),
+                             F.array_join(F.slice(toks, 13, 8), " ")),
+                    F.concat(F.lit("COOKIE banner accept all "),
+                             F.col("source"))).alias("text"))
+    return T.remove_boilerplate_lines(pages, min_doc_freq=5)
+
+
+@_q("pack_sequences", """
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents WHERE doc_id < 500),
+    sp AS (
+      SELECT source, doc_id, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS e
+      FROM toks WHERE n > 0),
+    ex AS (
+      SELECT source, doc_id, n, e, e - n AS s,
+             unnest(generate_series(CAST((e - n) // 64 AS BIGINT),
+                                    CAST((e - 1) // 64 AS BIGINT))) AS bin_id
+      FROM sp)
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(e, (bin_id + 1) * 64) -
+                    greatest(s, bin_id * 64)) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM ex GROUP BY source, bin_id""")
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per source shard, documents are
+    laid end-to-end in doc_id order and cut every 64 tokens; output is the
+    per-bin layout (doc count, token count, first/last doc). The DuckDB
+    oracle restates the cumsum/explode arithmetic, pinning every boundary
+    case (doc exactly filling a bin, doc spanning 3+ bins)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return packing.pack_sequences(
+        d.select("source", "doc_id",
+                 T.token_count_col(F.col("text")).alias("n_tok")),
+        "n_tok", 64)

@@ -269,3 +269,51 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("n_phones",
                         F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("int"))
             .withColumn("clean_text", clean))
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             group_col: str = "source",
+                             min_doc_freq: int = 5) -> DataFrame:
+    """CCNet-style boilerplate stripping: a line that appears (verbatim) in
+    >= min_doc_freq distinct documents of the same group (host / source) is
+    template chrome — nav bars, cookie banners, footers — and is removed
+    from every document in that group.
+
+    Output: (id_col, group_col, clean_text, n_lines_kept bigint,
+    n_lines_removed bigint); clean_text preserves original line order.
+
+    100-TB story (two jobs, text never shuffles):
+      1. the doc-frequency aggregate exchanges only (group, 16 B line
+         digest) pairs — map-side partial count_distinct keeps hot template
+         lines from concentrating on one reducer;
+      2. surviving boilerplate digests are rolled up to ONE array per group
+         (groups = hosts; a host's template set is small — the min_doc_freq
+         threshold caps it at lines that actually repeat) and BROADCAST;
+         each document is then cleaned map-side with a filter() higher-order
+         function over its own split lines. No join reshuffles the corpus,
+         and reassembly never leaves the row.
+    A per-group template set too large to broadcast (adversarial input)
+    degrades to a sort-merge join on group — still digest-sized — rather
+    than failing.
+    """
+    lines = (df.select(id_col, group_col,
+                       F.explode(F.split(F.col(text_col), "\n"))
+                       .alias("_line"))
+             .select(id_col, group_col, F.md5(F.col("_line")).alias("_h")))
+    boiler = (lines.groupBy(group_col, "_h")
+              .agg(F.count_distinct(id_col).alias("_df"))
+              .filter(F.col("_df") >= min_doc_freq)
+              .groupBy(group_col)
+              .agg(F.collect_set("_h").alias("_bset")))
+    parts = F.split(F.col(text_col), "\n")
+    kept = F.filter(parts, lambda l: ~F.array_contains(
+        F.coalesce(F.col("_bset"), F.array().cast("array<string>")),
+        F.md5(l)))
+    return (df.join(F.broadcast(boiler), group_col, "left")
+            .select(
+                F.col(id_col), F.col(group_col),
+                F.array_join(kept, "\n").alias("clean_text"),
+                F.size(kept).cast("bigint").alias("n_lines_kept"),
+                (F.size(parts) - F.size(kept)).cast("bigint")
+                .alias("n_lines_removed")))

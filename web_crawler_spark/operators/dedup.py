@@ -699,3 +699,57 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
         F.col("_start").cast("int").alias("span_start"),
         F.col("_end").cast("int").alias("span_end"),
         (F.col("_end") - F.col("_start")).cast("int").alias("span_len"))
+
+
+def _kgram_digests(df: DataFrame, text_col: str, id_col: str,
+                   k: int) -> DataFrame:
+    """(id, g) rows: md5 digest of every k-token rolling gram of text_col.
+    Same generator shape as exact_substring_spans step 2 (map-side
+    transform+explode; no per-doc gram array is ever materialized)."""
+    toks = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    return (df.select(F.col(id_col), toks.alias("_toks"))
+            .withColumn("_n", F.size("_toks"))
+            .filter(F.col("_n") >= k)
+            .select(id_col, F.explode(F.expr(
+                f"transform(sequence(0, _n - {k}), i -> "
+                f"md5(array_join(slice(_toks, i + 1, {k}), ' ')))"
+            )).alias("g")))
+
+
+def contamination_flags(df: DataFrame, bench: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        k: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    any k-token gram with an evaluation/benchmark corpus (the GPT-3
+    appendix-C / PaLM 13-gram-overlap rule), so flagged docs can be dropped
+    before training.
+
+    Output: (id_col, contaminated bool, n_contaminated_grams bigint) — one
+    row per input doc; n counts DISTINCT overlapping gram digests.
+
+    100-TB story: the benchmark side is small by construction (eval suites
+    are MBs), so its distinct gram-digest set BROADCASTS; the corpus side
+    emits (8 B id, 16 B digest) rows map-side and the broadcast left-semi
+    join filters them without any shuffle of text. The only exchanges are
+    (a) the distinct on surviving (id, g) pairs — contamination hits, which
+    are rare — and (b) the broadcast of the per-doc hit counts back onto
+    the corpus (hits << corpus; if a pathological benchmark contaminated
+    most of the corpus, Spark's AQE would still execute this as a valid,
+    if larger, join). The corpus text column itself never shuffles.
+    """
+    bench_grams = (_kgram_digests(bench, bench_text_col, id_col, k)
+                   .select("g").distinct())
+    doc_grams = _kgram_digests(df, text_col, id_col, k)
+    hits = (doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count_distinct("g").alias("n_contaminated_grams")))
+    return (df.select(id_col)
+            .join(F.broadcast(hits), id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("n_contaminated_grams").isNotNull()
+                .alias("contaminated"),
+                F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+                .cast("bigint").alias("n_contaminated_grams")))

@@ -1,0 +1,60 @@
+"""Sequence packing for training-data assembly.
+
+The standard concat-and-chunk pretraining layout: within each shard group,
+documents are concatenated in a deterministic order and the token stream is
+cut every `budget` tokens; each cut is one training sequence ("bin"). This
+operator computes the bin layout — which documents land in which bin and how
+many of their tokens — without ever materializing the token stream.
+
+All JVM built-ins end to end (window cumsum + sequence/explode); no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(df: DataFrame, n_tokens_col: str, budget: int,
+                   group_col: str = "source",
+                   order_col: str = "doc_id") -> DataFrame:
+    """Assign documents to fixed-size token bins by concat-and-chunk.
+
+    Within each group (shard), documents are laid end-to-end in order_col
+    order; the stream is cut every `budget` tokens. A document whose span
+    crosses a cut contributes tokens to several bins. Output is one row per
+    (group, bin): (group_col, bin_id, n_docs, n_tokens, first_doc,
+    last_doc). Every bin is exactly `budget` tokens except each group's
+    last.
+
+    100-TB story: only (group, order, n_tokens) rows enter the window — the
+    text column is pruned before the exchange, so the sort shuffles ~24 B
+    per document. Groups are shards (host / date / input file), so the
+    window parallelizes across groups; within a group the cumsum is a
+    single-pass sort — the same order the writer job would need anyway. The
+    bin explode emits ceil(n_tokens/budget)+1 rows per doc (almost always
+    1-2) and the final rollup is map-side partial-aggregated on
+    (group, bin).
+    """
+    n = F.col(n_tokens_col).cast("bigint")
+    w = (Window.partitionBy(group_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    spans = (df.select(group_col, order_col, n.alias("_n"))
+             .filter(F.col("_n") > 0)
+             .withColumn("_end", F.sum("_n").over(w))
+             .withColumn("_start", F.col("_end") - F.col("_n")))
+    b = F.lit(int(budget)).cast("bigint")
+    first_bin = F.floor(F.col("_start") / b)
+    last_bin = F.floor((F.col("_end") - 1) / b)
+    exploded = (spans
+                .withColumn("bin_id", F.explode(
+                    F.sequence(first_bin, last_bin)))
+                .withColumn("_tok_in_bin",
+                            F.least(F.col("_end"), (F.col("bin_id") + 1) * b)
+                            - F.greatest(F.col("_start"),
+                                         F.col("bin_id") * b)))
+    return (exploded.groupBy(group_col, "bin_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("_tok_in_bin").cast("bigint").alias("n_tokens"),
+                 F.min(order_col).alias("first_doc"),
+                 F.max(order_col).alias("last_doc")))
