@@ -84,7 +84,8 @@ def test_pii_scrub_counts_and_redaction(spark):
 @pytest.mark.parametrize("name", ["dedup_clusters", "gopher_repetition",
                                   "pii_redact", "substring_dup_spans",
                                   "decontam_flags", "boilerplate_strip",
-                                  "pack_sequences"])
+                                  "pack_sequences", "mixture_sample",
+                                  "corpus_assembly"])
 def test_new_queries_match_oracle_sf0001(spark, name):
     """Value-exact vs DuckDB at sf0.001 (the driver gate runs sf0.01)."""
     import duckdb
@@ -316,3 +317,34 @@ def test_pack_sequences_doc_spanning_many_bins(spark):
     assert out[4]["n_tokens"] == 300 - 4 * 64 + 10
     assert out[4]["n_docs"] == 2 and out[4]["first_doc"] == 1 \
         and out[4]["last_doc"] == 2
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    from web_crawler_spark.operators import packing
+    rows = [(i, "a") for i in range(8000)] + [(i, "b") for i in range(8000)] \
+        + [(i, "unlisted") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = packing.mixture_sample(df, {"a": 0.25, "b": 1.0})
+    got = [(r["doc_id"], r["source"]) for r in out.collect()]
+    a = [i for i, s in got if s == "a"]
+    # weight-1.0 group kept whole; unlisted dropped entirely
+    assert sum(1 for _, s in got if s == "b") == 8000
+    assert all(s != "unlisted" for _, s in got)
+    # hash sampling lands near the target rate
+    assert 0.22 < len(a) / 8000 < 0.28
+    # partitioning-independent: identical set under a different layout
+    got2 = {(r["doc_id"], r["source"]) for r in
+            packing.mixture_sample(df.repartition(13), {"a": 0.25, "b": 1.0})
+            .collect()}
+    assert got2 == set(got)
+    # salt changes the sample, not its size regime
+    got3 = {(r["doc_id"], r["source"]) for r in
+            packing.mixture_sample(df, {"a": 0.25, "b": 1.0}, salt="other")
+            .collect()}
+    assert got3 != set(got)
+
+
+def test_mixture_sample_empty_weights(spark):
+    from web_crawler_spark.operators import packing
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
+    assert packing.mixture_sample(df, {}).count() == 0

@@ -125,7 +125,8 @@ def test_curation_ops_stay_jvm_side(spark):
     the per-(doc, gram) HashAggregate proves map-side combine)."""
     from web_crawler_spark.driver_queries import QUERIES
     for name in ("gopher_repetition", "pii_redact", "substring_dup_spans",
-                 "decontam_flags", "boilerplate_strip", "pack_sequences"):
+                 "decontam_flags", "boilerplate_strip", "pack_sequences",
+                 "mixture_sample", "corpus_assembly"):
         plan = _plan(QUERIES[name](spark, SF_DIR))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                        "FlatMapGroupsInPandas"):

@@ -1724,3 +1724,93 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id",
                  T.token_count_col(F.col("text")).alias("n_tok")),
         "n_tok", 64)
+
+
+@_q("mixture_sample", """
+    SELECT doc_id, source FROM documents
+    WHERE doc_id < 500
+      AND CAST(concat('0x', substr(md5('mix1:' || doc_id), 1, 8)) AS BIGINT)
+        < (26 + 10 * CAST(substr(source, 4) AS BIGINT)) * 16777216""")
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling (the Pile/Dolma corpus-weight
+    step): source src_i keeps (26+10i)/256 of its docs, decided by a salted
+    md5 of doc_id compared as exact integers — the oracle restates the same
+    hash threshold, proving the sample is engine- and partitioning-
+    independent."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+         .select("doc_id", "source"))
+    weights = {f"src{i}": (26 + 10 * i) / 256 for i in range(20)}
+    return packing.mixture_sample(d, weights)
+
+
+@_q("corpus_assembly", """
+    WITH docs AS (SELECT doc_id, source, text FROM documents
+                  WHERE doc_id < 500),
+    toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM docs),
+    bench AS (
+      SELECT doc_id, array_to_string(t[4:16], ' ') AS text
+      FROM toks WHERE doc_id % 17 = 0),
+    btoks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM bench),
+    bgrams AS (
+      SELECT DISTINCT unnest([md5(array_to_string(t[i + 1:i + 13], ' '))
+                              for i in generate_series(0, len(t) - 13)]) AS g
+      FROM btoks WHERE len(t) >= 13),
+    dgrams AS (
+      SELECT DISTINCT doc_id,
+             unnest([md5(array_to_string(t[i + 1:i + 13], ' '))
+                     for i in generate_series(0, len(t) - 13)]) AS g
+      FROM toks WHERE len(t) >= 13),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM dgrams
+      WHERE g IN (SELECT g FROM bgrams)),
+    keep AS (
+      SELECT doc_id, source, len(t) AS n FROM toks
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated) AND len(t) > 0),
+    samp AS (
+      SELECT * FROM keep
+      WHERE CAST(concat('0x', substr(md5('asm1:' || doc_id), 1, 8))
+                 AS BIGINT)
+        < (26 + 10 * CAST(substr(source, 4) AS BIGINT)) * 16777216),
+    sp AS (
+      SELECT source, doc_id, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS e
+      FROM samp),
+    ex AS (
+      SELECT source, doc_id, n, e, e - n AS s,
+             unnest(generate_series(CAST((e - n) // 128 AS BIGINT),
+                                    CAST((e - 1) // 128 AS BIGINT)))
+               AS bin_id
+      FROM sp)
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(e, (bin_id + 1) * 128) -
+                    greatest(s, bin_id * 128)) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM ex GROUP BY source, bin_id""")
+def corpus_assembly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus assembly path as ONE declarative plan:
+    benchmark decontamination (13-gram overlap, broadcast bench set) →
+    deterministic mixture sampling (per-source hash thresholds) →
+    concat-and-chunk sequence packing (budget 128). Catalyst fuses the
+    decontam keep-filter and the sample filter into the same scan stage;
+    the only exchanges are the gram digest joins and the per-shard packing
+    window — document text never shuffles anywhere in the pipeline."""
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+         .select("doc_id", "source", "text"))
+    toks = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
+    bench = (d.filter(F.col("doc_id") % 17 == 0)
+             .select("doc_id",
+                     F.array_join(F.slice(toks, 4, 13), " ").alias("text")))
+    flags = dedup.contamination_flags(d, bench, k=13)
+    clean = d.join(flags.filter(~F.col("contaminated")).select("doc_id"),
+                   "doc_id", "left_semi")
+    weights = {f"src{i}": (26 + 10 * i) / 256 for i in range(20)}
+    sampled = packing.mixture_sample(clean, weights, salt="asm1")
+    return packing.pack_sequences(
+        sampled.select("source", "doc_id",
+                       T.token_count_col(F.col("text")).alias("n_tok")),
+        "n_tok", 128)

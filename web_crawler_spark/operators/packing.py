@@ -58,3 +58,32 @@ def pack_sequences(df: DataFrame, n_tokens_col: str, budget: int,
                  F.sum("_tok_in_bin").cast("bigint").alias("n_tokens"),
                  F.min(order_col).alias("first_doc"),
                  F.max(order_col).alias("last_doc")))
+
+
+def mixture_sample(df: DataFrame, weights: dict, group_col: str = "source",
+                   id_col: str = "doc_id", salt: str = "mix1") -> DataFrame:
+    """Deterministic mixture sampling: keep each row of group g with
+    probability weights[g] (unlisted groups are dropped), decided by a
+    salted md5 of the row id — the Pile/Dolma-style source-weighting step
+    of corpus assembly.
+
+    No RNG state and no shuffle: the keep decision is a pure map-side
+    filter on a hash, so the sample is reproducible across runs, retries,
+    cluster sizes, and partitionings, and composes with any downstream
+    operator without a materialization barrier. The comparison is exact
+    integer (first 8 md5 hex chars as a uint32 vs floor(w * 2^32)), so no
+    float rounding can flip a row between engines or platforms.
+    """
+    thr = None
+    for g, w in sorted(weights.items()):
+        lit = F.lit(int(w * 2 ** 32)).cast("bigint")
+        thr = (F.when(F.col(group_col) == g, lit) if thr is None
+               else thr.when(F.col(group_col) == g, lit))
+    if thr is None:
+        return df.filter(F.lit(False))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint")
+    # unlisted group -> thr NULL -> predicate NULL -> row dropped
+    return df.filter(u < thr)
