@@ -54,6 +54,7 @@ HEADLINE_V2 = [
     "simhash_near_dup",     # 64-bit simhash, 4x16-bit band blocking
     "lsh_cosine_buckets",   # hyperplane-LSH bucketing (committed planes)
     "stream_politeness",    # applyInPandasWithState token-bucket stream
+    "corpus_assembly",      # decontaminate -> mixture-sample -> pack, fused
 ]
 
 

@@ -1744,12 +1744,10 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q("corpus_assembly", """
-    WITH docs AS (SELECT doc_id, source, text FROM documents
-                  WHERE doc_id < 500),
-    toks AS (
+    WITH toks AS (
       SELECT doc_id, source,
              regexp_split_to_array(trim(text), '\\s+') AS t
-      FROM docs),
+      FROM documents),
     bench AS (
       SELECT doc_id, array_to_string(t[4:16], ' ') AS text
       FROM toks WHERE doc_id % 17 = 0),
@@ -1798,9 +1796,10 @@ def corpus_assembly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-and-chunk sequence packing (budget 128). Catalyst fuses the
     decontam keep-filter and the sample filter into the same scan stage;
     the only exchanges are the gram digest joins and the per-shard packing
-    window — document text never shuffles anywhere in the pipeline."""
-    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-         .select("doc_id", "source", "text"))
+    window — document text never shuffles anywhere in the pipeline. Runs
+    over the WHOLE documents table (no id cap) so the bench series tracks
+    the full pipeline cost as sf grows."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toks = F.split(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " ")
     bench = (d.filter(F.col("doc_id") % 17 == 0)
              .select("doc_id",
