@@ -85,7 +85,7 @@ def test_pii_scrub_counts_and_redaction(spark):
                                   "pii_redact", "substring_dup_spans",
                                   "decontam_flags", "boilerplate_strip",
                                   "pack_sequences", "mixture_sample",
-                                  "corpus_assembly"])
+                                  "corpus_assembly", "host_pagerank"])
 def test_new_queries_match_oracle_sf0001(spark, name):
     """Value-exact vs DuckDB at sf0.001 (the driver gate runs sf0.01)."""
     import duckdb
@@ -348,3 +348,57 @@ def test_mixture_sample_empty_weights(spark):
     from web_crawler_spark.operators import packing
     df = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
     assert packing.mixture_sample(df, {}).count() == 0
+
+
+def _pagerank_py(edges, n_iters=3, scale=10 ** 12, damping=85):
+    """Exact integer replica of pagerank_ranks for oracle-style testing."""
+    e = sorted(set(edges))
+    nodes = sorted({v for p in e for v in p})
+    n = len(nodes)
+    outd = {}
+    for s, _ in e:
+        outd[s] = outd.get(s, 0) + 1
+    base = (scale * (100 - damping)) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iters):
+        inbound = {v: 0 for v in nodes}
+        for s, d in e:
+            inbound[d] += r[s] // outd[s]
+        r = {v: base + (damping * inbound[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_cycle_and_star(spark):
+    from web_crawler_spark.operators import pagerank as PR
+    # 3-cycle: perfect symmetry -> identical ranks
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                "src bigint, dst bigint")
+    got = {r["node"]: r["rank_micro"]
+           for r in PR.pagerank_ranks(cyc, n_iters=3).collect()}
+    assert len(set(got.values())) == 1 and len(got) == 3
+    # star into node 0: the hub outranks every leaf
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)],
+        "src bigint, dst bigint")
+    got = {r["node"]: r["rank_micro"]
+           for r in PR.pagerank_ranks(star, n_iters=3).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+    assert got == _pagerank_py([(i, 0) for i in range(1, 6)] + [(0, 1)])
+
+
+def test_pagerank_random_vs_integer_reference(spark):
+    import numpy as np
+    from web_crawler_spark.operators import pagerank as PR
+
+    rng = np.random.RandomState(23)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 25, size=(120, 2)) if a != b})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["rank_micro"]
+           for r in PR.pagerank_ranks(df.repartition(7), n_iters=3)
+           .collect()}
+    assert got == _pagerank_py(edges)
+    # duplicate edges must not change the result (simple-graph semantics)
+    got2 = {r["node"]: r["rank_micro"]
+            for r in PR.pagerank_ranks(df.union(df), n_iters=3).collect()}
+    assert got2 == got

@@ -1813,3 +1813,60 @@ def corpus_assembly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.select("source", "doc_id",
                        T.token_count_col(F.col("text")).alias("n_tok")),
         "n_tok", 128)
+
+
+_PR_SRC_SQL = "(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE 1 + doc_id % 19 END)"
+_PR_DST_SQL = "(CASE WHEN jd % 10 < 3 THEN 0 ELSE 1 + jd % 19 END)"
+
+
+@_q("host_pagerank", f"""
+    WITH j AS (
+      SELECT doc_id, (doc_id * 31 + 7) % 499 AS jd FROM documents),
+    e AS (
+      SELECT DISTINCT {_PR_SRC_SQL} AS src, {_PR_DST_SQL} AS dst
+      FROM j WHERE {_PR_SRC_SQL} <> {_PR_DST_SQL}),
+    nodes AS (SELECT DISTINCT v FROM
+              (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+    b AS (SELECT (1000000000000 * 15) // (100 * (SELECT n FROM nn))
+            AS base),
+    r0 AS (SELECT v, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+    r1 AS (
+      SELECT nd.v, (SELECT base FROM b) + (85 * coalesce(s.t, 0)) // 100
+               AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS v, sum(r0.r // outd.od) AS t
+        FROM e JOIN r0 ON r0.v = e.src JOIN outd ON outd.src = e.src
+        GROUP BY e.dst) s ON s.v = nd.v),
+    r2 AS (
+      SELECT nd.v, (SELECT base FROM b) + (85 * coalesce(s.t, 0)) // 100
+               AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS v, sum(r1.r // outd.od) AS t
+        FROM e JOIN r1 ON r1.v = e.src JOIN outd ON outd.src = e.src
+        GROUP BY e.dst) s ON s.v = nd.v),
+    r3 AS (
+      SELECT nd.v, (SELECT base FROM b) + (85 * coalesce(s.t, 0)) // 100
+               AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS v, sum(r2.r // outd.od) AS t
+        FROM e JOIN r2 ON r2.v = e.src JOIN outd ON outd.src = e.src
+        GROUP BY e.dst) s ON s.v = nd.v)
+    SELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
+    FROM r3""")
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank over a deterministic host citation graph
+    derived from the corpus (the host rule is the crawl fixtures' hot-host
+    rule, so host 0 — 30% of pages — accumulates visibly more rank). The
+    integer micro-unit arithmetic makes three unrolled power iterations
+    exactly restatable in DuckDB; in the engine this rank is what would
+    feed the frontier's priority column."""
+    from .operators import pagerank as PR
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    jd = (did * 31 + 7) % 499
+    host = lambda c: F.when(c % 10 < 3, 0).otherwise(1 + c % 19)  # noqa: E731
+    edges = (d.select(host(did).alias("src"), host(jd).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return PR.pagerank_ranks(edges, n_iters=3)
