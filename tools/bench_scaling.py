@@ -106,16 +106,18 @@ def prepare(workdir: str) -> None:
     spark.stop()
 
 
-def worker(workdir: str, cores: int) -> None:
+def run_epoch(spark, workdir: str, cores: int) -> dict:
+    """The measured unit: ONE crawl epoch over the shared bucketed input.
+    Session-agnostic — bench_scaling drives it in pinned local[N] JVMs,
+    bench_cluster_scaling drives the IDENTICAL job on a standalone cluster
+    with real separate executor JVMs, so the two evidence lines are
+    comparing the same plan."""
     from pyspark.sql import functions as F
 
     from web_crawler_spark.functions import canonicalize as canon
     from web_crawler_spark.functions import extract as ex
     from web_crawler_spark.operators import politeness
-    from web_crawler_spark.session import get_spark
 
-    spark = get_spark(f"scaling-{cores}", cores=cores,
-                      shuffle_partitions=2 * cores)
     # re-attach the bucketed pages table written by prepare(): bucket
     # metadata lives in this session's catalog, data at the shared path —
     # the fetch join then needs NO exchange on the html side (verified: the
@@ -166,8 +168,16 @@ def worker(workdir: str, cores: int) -> None:
         .write.mode("overwrite").parquet(out)
     dt = time.time() - t0
     n = spark.read.parquet(out).count()
-    print(json.dumps({"cores": cores, "seconds": round(dt, 2), "urls": n,
-                      "urls_per_sec": round(n / dt, 1)}))
+    return {"cores": cores, "seconds": round(dt, 2), "urls": n,
+            "urls_per_sec": round(n / dt, 1)}
+
+
+def worker(workdir: str, cores: int) -> None:
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cores}", cores=cores,
+                      shuffle_partitions=2 * cores)
+    print(json.dumps(run_epoch(spark, workdir, cores)))
     spark.stop()
 
 
