@@ -8,10 +8,12 @@ isolates the engine's scaling but cannot show the multi-JVM dimension —
 and BASELINE.md documents that a SINGLE local-mode JVM saturates its shared
 scheduler/shuffle locks near 8-16 busy cores. This tool removes that
 asterisk: it boots a real standalone cluster on this box (1 master + 4
-workers, each worker pinned to its own 2-core cpuset like a real
-executor's cgroup), then runs the IDENTICAL epoch job via spark-submit at
-  N  = --total-executor-cores 2  (1 executor JVM,  2 cores)
-  4N = --total-executor-cores 8  (4 executor JVMs, 2 cores each)
+workers, each worker pinned to its own cpuset like a real executor's
+cgroup; default 2-core, WCS_WORKER_CPUSETS overrides — e.g.
+"0-3,4-7,8-11,12-15" for 4-core executors), then runs the IDENTICAL epoch
+job via spark-submit at
+  N  = --total-executor-cores EXEC_CORES      (1 executor JVM)
+  4N = --total-executor-cores 4*EXEC_CORES    (4 executor JVMs)
 so the 4N level exercises real executor-to-executor shuffle over separate
 JVM heaps and python-worker pools. The job body is bench_scaling.run_epoch
 — byte-identical input, same bucketed fetch join, same Arrow parse UDF.
@@ -47,9 +49,19 @@ MASTER_HOST = "127.0.0.1"
 MASTER_PORT = int(os.environ.get("WCS_CLUSTER_PORT", "7077"))
 MASTER_URL = f"spark://{MASTER_HOST}:{MASTER_PORT}"
 MASTER_WEBUI = int(os.environ.get("WCS_CLUSTER_WEBUI", "8090"))
-WORKER_CPUSETS = ["0-1", "2-3", "4-5", "6-7"]  # one real 2-core executor each
+#: one cpuset per worker = one real executor's core budget (like a cgroup).
+#: Default 4 x 2-core; override e.g. WCS_WORKER_CPUSETS="0-3,4-7,8-11,12-15"
+#: for 4-core executors (EXEC_CORES and LEVELS derive from the cpusets:
+#: levels are always 1 executor vs all executors = N -> 4N).
+WORKER_CPUSETS = os.environ.get(
+    "WCS_WORKER_CPUSETS", "0-1,2-3,4-5,6-7").split(",")
+EXEC_CORES = (lambda s: int(s.split("-")[1]) - int(s.split("-")[0]) + 1)(
+    WORKER_CPUSETS[0])
 DRIVER_CPUSET = "24-31"                        # constant across levels
-LEVELS = (2, 8)                                # total executor cores: N, 4N
+LEVELS = (EXEC_CORES, EXEC_CORES * len(WORKER_CPUSETS))
+#: extra spark confs for experiments, "k=v;k=v"
+EXTRA_CONF = [x for kv in os.environ.get("WCS_EXTRA_CONF", "").split(";")
+              if kv for x in ("--conf", kv)]
 
 
 def _launch(args: list, cpuset: str, logfile: str) -> subprocess.Popen:
@@ -83,7 +95,8 @@ def start_cluster(logdir: str) -> list:
     for i, cpuset in enumerate(WORKER_CPUSETS):
         procs.append(_launch(
             ["org.apache.spark.deploy.worker.Worker", MASTER_URL,
-             "--host", MASTER_HOST, "--cores", "2", "--memory", "12g",
+             "--host", MASTER_HOST, "--cores", str(EXEC_CORES),
+             "--memory", "12g",
              "--webui-port", str(MASTER_WEBUI + 1 + i)],
             cpuset, os.path.join(logdir, f"worker{i}.log")))
     deadline = time.time() + 120
@@ -117,12 +130,19 @@ def _submit(workdir: str, zip_path: str, total_cores: int) -> dict:
         "--conf", f"spark.sql.autoBroadcastJoinThreshold={64 * 1024 * 1024}",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.ui.enabled=false",
-    ]
+        # local-FS splits carry no locality prefs, but SHUFFLE stages do:
+        # with 4 executors the default 3s locality wait stalls reduce tasks
+        # that aren't process-local to their map output; 1 executor never
+        # waits (everything is process-local), so the default penalizes ONLY
+        # the 4N level. Scheduling delay is not the quantity under test.
+        "--conf", "spark.locality.wait=0s",
+    ] + EXTRA_CONF
     p = subprocess.run(
         ["taskset", "-c", DRIVER_CPUSET,
          f"{SPARK_HOME}/bin/spark-submit", "--master", MASTER_URL,
          "--total-executor-cores", str(total_cores),
-         "--executor-cores", "2", "--executor-memory", "10g",
+         "--executor-cores", str(EXEC_CORES),
+         "--executor-memory", "10g",
          "--driver-memory", "8g", "--py-files", zip_path] + conf +
         [os.path.abspath(__file__), "--worker", workdir, str(total_cores)],
         capture_output=True, text=True, timeout=3600)
@@ -142,7 +162,7 @@ def cluster_worker(workdir: str, total_cores: int) -> None:
     spark = SparkSession.builder.appName(
         f"cluster-scaling-{total_cores}").getOrCreate()
     res = bs.run_epoch(spark, workdir, total_cores)
-    res["executors"] = total_cores // 2
+    res["executors"] = total_cores // EXEC_CORES
     print(json.dumps(res))
     spark.stop()
 
@@ -166,7 +186,8 @@ def main() -> None:
               file=sys.stderr)
         bs.prepare(workdir)
         print("# starting standalone cluster: 1 master + "
-              f"{len(WORKER_CPUSETS)} pinned 2-core workers", file=sys.stderr)
+              f"{len(WORKER_CPUSETS)} pinned {EXEC_CORES}-core workers",
+              file=sys.stderr)
         procs = start_cluster(logdir)
         repeats = int(os.environ.get("SCALING_REPEATS", "2"))
         results = {}
@@ -193,7 +214,8 @@ def main() -> None:
             "unit": "ratio",
             "n_docs": bs.N_DOCS,
             "n_hosts": bs.N_HOSTS,
-            "executors_lo": 1, "executors_hi": 4,
+            "executors_lo": 1, "executors_hi": len(WORKER_CPUSETS),
+            "executor_cores": EXEC_CORES,
             f"exec{lo}": results[lo],
             f"exec{hi}": results[hi],
             "machine_control_docs_per_sec": {str(lo): round(mp_lo),
