@@ -55,7 +55,11 @@ MASTER_WEBUI = int(os.environ.get("WCS_CLUSTER_WEBUI", "8090"))
 #: levels are always 1 executor vs all executors = N -> 4N).
 WORKER_CPUSETS = os.environ.get(
     "WCS_WORKER_CPUSETS", "0-1,2-3,4-5,6-7").split(",")
-EXEC_CORES = (lambda s: int(s.split("-")[1]) - int(s.split("-")[0]) + 1)(
+#: executor core budget; defaults to the cpuset width. WCS_EXEC_CORES
+#: decouples them for diagnostics (e.g. 4 x 2-core executors all floating
+#: on a shared "0-7" cpuset isolates cpuset FRAGMENTATION from JVM count).
+EXEC_CORES = int(os.environ.get("WCS_EXEC_CORES", "0")) or (
+    lambda s: int(s.split("-")[1]) - int(s.split("-")[0]) + 1)(
     WORKER_CPUSETS[0])
 DRIVER_CPUSET = "24-31"                        # constant across levels
 LEVELS = (EXEC_CORES, EXEC_CORES * len(WORKER_CPUSETS))
