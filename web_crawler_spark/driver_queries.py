@@ -25,7 +25,7 @@ from .functions import bpe
 from .functions import canonicalize as canon
 from .functions import extract as ex
 from .functions import text as T
-from .operators import dedup, packing, similarity
+from .operators import dedup, packing, retrieval, selection, similarity
 from .plans.epoch import CrawlConfig, CrawlEngine
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1870,3 +1870,153 @@ def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (d.select(host(did).alias("src"), host(jd).alias("dst"))
              .filter(F.col("src") != F.col("dst")))
     return PR.pagerank_ranks(edges, n_iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Model-based data selection (DSIR, quality classifier) + BM25 retrieval
+# ---------------------------------------------------------------------------
+
+#: deterministic target-like / raw-web-like suffixes injected per doc_id so
+#: the fixture corpus (synthetic DB-vocabulary text, unseen by the committed
+#: models) genuinely exercises BOTH decision branches — the pii_redact
+#: injected-contacts pattern. Spelled once, shared by Spark and the oracle.
+_SEL_TGT_SUFFIX = (" human beings are born free and equal in dignity and "
+                   "rights")
+_SEL_RAW_SUFFIX = (" click here to subscribe buy now limited time offer "
+                   "accept all cookies")
+_SEL_AUG_SQL = ("text || CASE WHEN doc_id % 3 = 0 THEN '" + _SEL_TGT_SUFFIX +
+                "' WHEN doc_id % 3 = 1 THEN '" + _SEL_RAW_SUFFIX +
+                "' ELSE '' END")
+
+
+def _sel_aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(_SEL_TGT_SUFFIX))
+        .when(did % 3 == 1, F.lit(_SEL_RAW_SUFFIX))
+        .otherwise(F.lit("")))
+    return d.select("doc_id", aug.alias("text"))
+
+
+def _dsir_oracle_sql() -> str:
+    path = selection.dsir_weights_path()
+    ws = T.LANGID_WS_CLASS
+    return f"""
+    WITH w AS (SELECT bucket, w FROM read_parquet('{path}')),
+    docs AS (SELECT doc_id, {_SEL_AUG_SQL} AS text FROM documents),
+    norm AS (SELECT doc_id,
+                    lower(regexp_replace(trim(text), '{ws}', ' ', 'g')) AS t
+             FROM docs),
+    tk AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                               ELSE str_split(t, ' ') END AS toks
+           FROM norm),
+    feats AS (SELECT doc_id, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1]))) AS f
+              FROM tk),
+    scored AS (SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS s,
+                      count(*) AS n
+               FROM (SELECT doc_id, substr(md5(f), 1, 3) AS bucket
+                     FROM feats) b
+               JOIN w USING (bucket) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_feats,
+           CAST(coalesce(s, 0) AS BIGINT) AS dsir_score,
+           coalesce(s, 0) > 0 AS selected
+    FROM documents d LEFT JOIN scored USING (doc_id)"""
+
+
+@_q("dsir_weights", _dsir_oracle_sql())
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): hashed
+    unigram+bigram features scored by the committed target-vs-raw
+    micro-log-ratio table (data/dsir_weights_v1.parquet,
+    tools/gen_dsir_weights.py); selected <=> more target-like than
+    raw-web-like. Exact BIGINT sums; the 4096-row model is broadcast."""
+    weights = spark.read.parquet(selection.dsir_weights_path())
+    return selection.dsir_score_df(_sel_aug_docs(spark, sf_dir), weights)
+
+
+def _quality_clf_oracle_sql() -> str:
+    path = selection.quality_clf_path()
+    ws = T.LANGID_WS_CLASS
+    return f"""
+    WITH m AS (SELECT bucket, w FROM read_parquet('{path}')
+               WHERE bucket <> ''),
+    bias AS (SELECT w AS bias_w FROM read_parquet('{path}')
+             WHERE bucket = ''),
+    docs AS (SELECT doc_id, {_SEL_AUG_SQL} AS text FROM documents),
+    norm AS (SELECT doc_id,
+                    lower(regexp_replace(trim(text), '{ws}', ' ', 'g')) AS t
+             FROM docs),
+    tk AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                               ELSE str_split(t, ' ') END AS toks
+           FROM norm),
+    feats AS (SELECT doc_id, unnest(toks) AS f FROM tk),
+    scored AS (SELECT doc_id, CAST(sum(m.w) AS BIGINT) AS s,
+                      count(*) AS n
+               FROM (SELECT doc_id, substr(md5(f), 1, 3) AS bucket
+                     FROM feats) b
+               JOIN m USING (bucket) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s, 0) AS BIGINT) AS clf_score,
+           (coalesce(n, 0) > 0 AND
+            coalesce(s, 0) + bias_w * coalesce(n, 0) >= 0) AS keep
+    FROM documents d CROSS JOIN bias LEFT JOIN scored USING (doc_id)"""
+
+
+@_q("quality_classifier", _quality_clf_oracle_sql())
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style model-based quality gate (the GPT-3/WebText-classifier
+    pipeline stage): logistic regression over hashed bag-of-words vs the
+    committed weight table (data/quality_clf_v1.parquet,
+    tools/gen_quality_clf.py); keep decided in exact integers as
+    sum_w + bias * n_tokens >= 0."""
+    weights = spark.read.parquet(selection.quality_clf_path())
+    return selection.quality_clf_df(_sel_aug_docs(spark, sf_dir), weights)
+
+
+_BM25_TERMS = ["hash", "vector", "merge"]
+
+
+def _bm25_oracle_sql() -> str:
+    ws = T.LANGID_WS_CLASS
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH norm AS (SELECT doc_id,
+                    lower(regexp_replace(trim(text), '{ws}', ' ', 'g')) AS t
+                  FROM documents),
+    tk AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                               ELSE str_split(t, ' ') END AS toks
+           FROM norm),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS dl_sum FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+           WHERE tok IN ({terms}) GROUP BY 1, 2),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf
+            GROUP BY 1),
+    scored AS (SELECT tf.doc_id,
+                  CAST(sum(
+                    ((2 * n_docs - 2 * df_t + 1) * {retrieval.IDF_SCALE}
+                     // (2 * df_t + 1)) *
+                    ((44 * tf * dl_sum * {retrieval.TF_SCALE})
+                     // (20 * tf * dl_sum + 6 * dl_sum + 18 * n_docs * dl))
+                  ) AS BIGINT) AS bm25_score
+               FROM tf JOIN dft USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+               CROSS JOIN stats GROUP BY 1)
+    SELECT doc_id, bm25_score FROM scored
+    ORDER BY bm25_score DESC, doc_id LIMIT 20"""
+
+
+@_q("bm25_topk", _bm25_oracle_sql())
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75; un-logged RSJ idf) with
+    corpus stats computed in-plan and EXACT integer-rational scoring —
+    the ranking can't flip on float summation order or libm ulps."""
+    return retrieval.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS,
+                               k=20)
