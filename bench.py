@@ -57,6 +57,24 @@ HEADLINE_V2 = [
     "corpus_assembly",      # decontaminate -> mixture-sample -> pack, fused
 ]
 
+# Third tier: the late-round-5 curation/selection/retrieval family — same
+# rationale as V2 (new operators need a perf series without perturbing the
+# frozen comparable totals). Emitted under "value_v3"/"queries_v3".
+HEADLINE_V3 = [
+    "dedup_clusters",       # LSH pairs -> connected components -> canonical
+    "gopher_repetition",    # exact-integer top-2gram / dup-3gram shares
+    "pii_redact",           # regexp_count/replace scrub, pure JVM
+    "substring_dup_spans",  # k-gram islands -> maximal duplicated spans
+    "decontam_flags",       # 13-gram benchmark-overlap decontamination
+    "boilerplate_strip",    # per-host line doc-frequency template removal
+    "pack_sequences",       # concat-and-chunk token bin packing
+    "mixture_sample",       # salted-hash deterministic mixture weights
+    "host_pagerank",        # integer-exact link-graph power iterations
+    "dsir_weights",         # DSIR hashed-ngram importance scores
+    "quality_classifier",   # fasttext-style model-based quality gate
+    "bm25_topk",            # integer-rational BM25 ranked retrieval
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -114,7 +132,8 @@ def main() -> None:
     # validate BOTH tiers up front: a lost @_q registration must fail fast
     # with exit 2, not KeyError after the frozen suite already ran
     v2 = HEADLINE_V2 if args.queries is None else []
-    unknown = [n for n in list(names) + v2 if n not in qs]
+    v3 = HEADLINE_V3 if args.queries is None else []
+    unknown = [n for n in list(names) + v2 + v3 if n not in qs]
     if unknown:
         print(f"error: unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
@@ -151,6 +170,7 @@ def main() -> None:
     # V2 tier runs AFTER the frozen set so it can never perturb the
     # comparable series; skipped when --queries selects an explicit subset.
     timings_v2 = run_set(v2) if v2 else {}
+    timings_v3 = run_set(v3) if v3 else {}
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -164,6 +184,9 @@ def main() -> None:
     if timings_v2:
         out["value_v2"] = round(sum(timings_v2.values()), 3)
         out["queries_v2"] = timings_v2
+    if timings_v3:
+        out["value_v3"] = round(sum(timings_v3.values()), 3)
+        out["queries_v3"] = timings_v3
     out.update(control)
     if crawl_sec > 0:
         # articles stored / wall time of the full multi-epoch engine run —
