@@ -46,6 +46,14 @@ def main() -> None:
                          "+ horizon; deferred retries stay enqueued and "
                          "their delta files are skipped via manifest "
                          "min/max stats (default: off, full read)")
+    ap.add_argument("--rank-budgets", action="store_true",
+                    help="opt-in authority-weighted per-host budgets: log "
+                         "the discovered host link graph and scale each "
+                         "ranked host's epoch budget by its integer-exact "
+                         "PageRank share (default: off, uniform budgets)")
+    ap.add_argument("--rank-budget-floor", type=int, default=100,
+                    help="minimum per-host budget for ranked hosts when "
+                         "--rank-budgets is on")
     args = ap.parse_args()
     if args.pages:
         ap.error("--pages (external corpus mode) is not wired yet: "
@@ -91,7 +99,9 @@ def main() -> None:
     seeds = spark.read.parquet(seeds_path)
 
     eng = CrawlEngine(spark, args.workdir, pages,
-                      CrawlConfig(fetch_horizon=args.fetch_horizon))
+                      CrawlConfig(fetch_horizon=args.fetch_horizon,
+                                  rank_host_budgets=args.rank_budgets,
+                                  rank_budget_floor=args.rank_budget_floor))
     t0 = time.time()
     totals = eng.run(seeds, max_epochs=args.epochs)
     dt = time.time() - t0

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 def pagerank_ranks(edges: DataFrame, n_iters: int = 3,
                    src: str = "src", dst: str = "dst",
                    scale: int = 10 ** 12,
-                   damping_pct: int = 85) -> DataFrame:
+                   damping_pct: int = 85,
+                   node_type: str = "bigint") -> DataFrame:
     """Integer-exact PageRank over a directed edge list.
 
     Semantics (deterministic, engine-portable):
@@ -34,7 +35,10 @@ def pagerank_ranks(edges: DataFrame, n_iters: int = 3,
       - dangling-node mass is dropped (not redistributed) — the standard
         simplification, stated so the oracle matches by construction.
 
-    Returns (node bigint, rank_micro bigint).
+    Returns (node <node_type>, rank_micro bigint) — node_type defaults to
+    bigint (the oracle-gated host_pagerank shape); the engine's
+    authority-weighted budgets pass node_type="string" to rank host names
+    directly (the arithmetic is identical — only the key cast changes).
 
     100-TB story: the edge list is materialized once (localCheckpoint) and
     re-joined each iteration — at cluster scale it would be bucketed by
@@ -45,8 +49,8 @@ def pagerank_ranks(edges: DataFrame, n_iters: int = 3,
     Lineage is truncated every iteration, so plans stay O(1) deep no
     matter how many power steps run.
     """
-    e = (edges.select(F.col(src).cast("bigint").alias("src"),
-                      F.col(dst).cast("bigint").alias("dst"))
+    e = (edges.select(F.col(src).cast(node_type).alias("src"),
+                      F.col(dst).cast(node_type).alias("dst"))
          .distinct().localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("v"))
              .union(e.select(F.col("dst").alias("v")))

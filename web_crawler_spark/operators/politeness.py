@@ -40,9 +40,16 @@ N_PREBUCKETS = 32
 
 
 def truncate_per_host(frontier: DataFrame, per_host_budget: int,
-                      prebucket: bool = True) -> DataFrame:
+                      prebucket: bool = True,
+                      budget_col: Optional[str] = None) -> DataFrame:
     """Keep the first ``per_host_budget`` rows per host in
     (priority, next_fetch_ts, discovered_seq) order.
+
+    With ``budget_col`` set, that column gives each ROW its host's budget
+    (authority-weighted budgets: the engine joins a per-host budget dim
+    before truncation; every row of a host carries the same value, and
+    ``per_host_budget`` stays the upper bound the prebucket phase cuts to —
+    a per-host budget can only be <= it by construction).
 
     With ``prebucket`` the hot host never sorts its full backlog in one
     task: phase 1 windows over (host, xxhash64(url)%N) partitions — the
@@ -52,6 +59,7 @@ def truncate_per_host(frontier: DataFrame, per_host_budget: int,
     from pyspark.sql import Window
     order = [F.col("priority").asc(), F.col("next_fetch_ts").asc(),
              F.col("discovered_seq").asc()]
+    cap = F.col(budget_col) if budget_col else F.lit(per_host_budget)
     if prebucket:
         w1 = Window.partitionBy("host", "__bkt").orderBy(*order)
         frontier = (frontier
@@ -59,11 +67,11 @@ def truncate_per_host(frontier: DataFrame, per_host_budget: int,
                                 F.pmod(F.xxhash64(F.col("url")),
                                        F.lit(N_PREBUCKETS)))
                     .withColumn("__rk", F.row_number().over(w1))
-                    .filter(F.col("__rk") <= per_host_budget)
+                    .filter(F.col("__rk") <= cap)
                     .drop("__rk", "__bkt"))
     w2 = Window.partitionBy("host").orderBy(*order)
     return (frontier.withColumn("__rk", F.row_number().over(w2))
-            .filter(F.col("__rk") <= per_host_budget).drop("__rk"))
+            .filter(F.col("__rk") <= cap).drop("__rk"))
 
 
 #: above this many distinct per-host crawl delays the inlined CASE chain
@@ -79,6 +87,7 @@ def schedule_epoch(frontier: DataFrame,
                    host_delays: Optional[Dict[str, float]] = None,
                    prebucket: bool = True,
                    approx_rows: Optional[int] = None,
+                   host_budgets: Optional[DataFrame] = None,
                    ) -> DataFrame:
     """Assign sched_ts per row, per-host token bucket.
 
@@ -94,13 +103,32 @@ def schedule_epoch(frontier: DataFrame,
     (backoff penalty) pushes a row later. Round 1 ran this as an
     applyInPandas token bucket; the window form is value-identical and takes
     Python (and the hot host's serial pandas group) out of the schedule.
+
+    ``host_budgets`` (optional, columns host + __budget int) scales the
+    budget PER HOST — the engine's authority-weighted allocation (PageRank
+    over the discovered host link graph; plans/epoch.py). It is a tiny dim
+    (one row per RANKED host) and is broadcast; hosts not in it fall back
+    to ``per_host_budget``. With budgets present the truncation can never
+    be skipped (a budget below the frontier size must bind even when the
+    whole frontier fits the default budget).
     """
     host_delays = host_delays or {}
     # ``approx_rows`` (the caller's known frontier count) prunes no-op work:
     # a frontier that fits the budget outright needs no truncation at all,
     # and the prebucket phase only pays off when a single host could exceed
     # the budget — both windows are exact either way, this is plan pruning.
-    if approx_rows is not None and approx_rows <= per_host_budget:
+    if host_budgets is not None:
+        frontier = (frontier
+                    .join(F.broadcast(host_budgets.select("host", "__budget")),
+                          "host", "left")
+                    .withColumn("__budget",
+                                F.coalesce("__budget",
+                                           F.lit(int(per_host_budget)))))
+        if approx_rows is not None:
+            prebucket = prebucket and approx_rows > 4 * per_host_budget
+        frontier = truncate_per_host(frontier, per_host_budget, prebucket,
+                                     budget_col="__budget").drop("__budget")
+    elif approx_rows is not None and approx_rows <= per_host_budget:
         pass                                    # truncation is a no-op
     else:
         if approx_rows is not None:

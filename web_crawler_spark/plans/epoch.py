@@ -130,6 +130,18 @@ class CrawlConfig:
     #: semantics exactly: every live row is scheduled, however far out its
     #: next_fetch_ts.
     fetch_horizon: Optional[float] = None
+    #: OPT-IN authority-weighted per-host budgets (the loop the
+    #: host_pagerank operator's docstring promises): when True the engine
+    #: logs the discovered host→host link graph to a `link_edges` table and
+    #: scales each RANKED host's epoch budget by its integer-exact PageRank:
+    #:     budget(h) = floor + (per_host_budget - floor) * rank_h DIV max_rank
+    #: Hosts never seen in the graph keep the default per_host_budget.
+    #: Default False preserves reference crawl-order semantics exactly
+    #: (the flag changes WHICH rows a budget-bound epoch serves, never the
+    #: per-host politeness order).
+    rank_host_budgets: bool = False
+    rank_budget_floor: int = 100
+    rank_n_iters: int = 3
     #: OPT-IN live-fetch hook (S4-live): a callable DataFrame -> DataFrame
     #: that appends (html binary, fetch_status string) to the scheduled
     #: rows — build one with sources.live_fetch.make_live_fetcher. None
@@ -160,6 +172,14 @@ class CrawlEngine:
         # instead of rebuilding it.
         self.seen_shards = LakeTable(os.path.join(workdir, "seen_shards"),
                                      "shard int, bits binary")
+        # host→host link graph (only when authority budgets are on — the
+        # LakeTable ctor mkdirs, and a default run must leave the workdir
+        # layout untouched). Edge rows are distinct (src, dst) per epoch —
+        # digest-thin, append-only, replayed idempotently (replace=True).
+        self.link_edges = (
+            LakeTable(os.path.join(workdir, "link_edges"),
+                      "src string, dst string")
+            if self.cfg.rank_host_budgets else None)
         self._frontier_rows: Optional[int] = None  # carried across epochs
         self._articles_rows: Optional[int] = None  # running seen-set size
         self._horizon_skew: float = 0.0  # fetch_horizon fast-forward (below)
@@ -319,12 +339,37 @@ class CrawlEngine:
         #    approx_rows is only a plan-pruning hint; passing the pre-robots
         #    count is conservative (may truncate when it could skip), never
         #    wrong.
+        #    Authority-weighted budgets (opt-in): rank the committed host
+        #    link graph (strictly BEFORE this epoch — a replay sees the
+        #    same graph) and scale each ranked host's budget by its
+        #    integer-exact PageRank share. The rank join is a broadcast of
+        #    a per-host dim; max_rank rides the same tiny plan as a
+        #    broadcast scalar — no driver collect, no frontier rewrite:
+        #    authority is a SCHEDULE-TIME view, the frontier table itself
+        #    stays untouched (the merge-on-read invariant).
+        host_budgets = None
+        if cfg.rank_host_budgets and self.link_edges is not None and \
+                any(e < epoch for e in self.link_edges.committed_epochs()):
+            from ..operators.pagerank import pagerank_ranks
+            ranks = pagerank_ranks(
+                self.link_edges.read(self.spark, before_epoch=epoch),
+                n_iters=cfg.rank_n_iters, node_type="string")
+            floor = min(cfg.rank_budget_floor, cfg.per_host_budget)
+            span = cfg.per_host_budget - floor
+            mx = ranks.agg(F.max("rank_micro").alias("__mx"))
+            host_budgets = (
+                ranks.crossJoin(F.broadcast(mx))
+                .select(F.col("node").alias("host"),
+                        (F.lit(floor) +
+                         F.expr(f"({span} * rank_micro) DIV __mx"))
+                        .cast("int").alias("__budget")))
         sched = politeness.schedule_epoch(
             frontier, default_delay=cfg.request_delay,
             per_host_budget=cfg.per_host_budget,
             epoch_start_ts=epoch_start_ts,
             host_delays=cfg.host_delays,
-            approx_rows=frontier_in)
+            approx_rows=frontier_in,
+            host_budgets=host_budgets)
         sched = sched.localCheckpoint(eager=True)  # cut lineage per epoch
         _mark("sched_ckpt")
         # Rows the budget did NOT schedule simply STAY in the frontier —
@@ -426,16 +471,19 @@ class CrawlEngine:
         ok = fetched.filter(F.col("fetch_status") == "ok")
 
         # 5a) list pages → extracted links (U1) → new frontier article rows
+        link_cols = ["url", "parser_class", "source_id", "priority",
+                     "discovered_seq"]
+        if cfg.rank_host_budgets:
+            link_cols.append("host")       # src side of the host link graph
         links = (ok.filter(F.col("kind") == "list")
-                 .select("url", "parser_class", "source_id", "priority",
-                         "discovered_seq",
+                 .select(*link_cols,
                          F.posexplode_outer(F.col("ext.links"))
                          .alias("pos", "link"))
                  .filter(F.col("link").isNotNull()))
-        discovered = (links.select(
+        disc_cols = [
             F.col("link.url").alias("url"),
             F.lit("article").alias("kind"),
-            "parser_class", "source_id", "priority",
+            F.col("parser_class"), F.col("source_id"), F.col("priority"),
             (F.col("discovered_seq") + 1 + F.col("pos"))
             .alias("discovered_seq"),
             F.lit(0.0).alias("next_fetch_ts"),
@@ -443,10 +491,24 @@ class CrawlEngine:
             F.col("link.date_str").alias("date_str"),
             F.col("link.title").alias("list_title"),
             F.col("link.summary").alias("list_summary"),
-            F.lit(epoch + 1).alias("epoch_added")))
+            F.lit(epoch + 1).alias("epoch_added")]
+        if cfg.rank_host_budgets:
+            disc_cols.append(F.col("host").alias("__src_host"))
+        discovered = links.select(*disc_cols)
         discovered = (canon.with_canonical(discovered)
-                      .drop("url").withColumnRenamed("url_canon", "url")
-                      .select(*FRONTIER_COLS))
+                      .drop("url").withColumnRenamed("url_canon", "url"))
+        if cfg.rank_host_budgets and self.link_edges is not None:
+            # distinct host→host citations discovered this epoch (self-loops
+            # carry no authority signal). A replay overwrites its own epoch
+            # key (replace=True) — the graph a later epoch ranks is
+            # identical either way. Cost: one extra evaluation of the
+            # link-canonicalize pass, only when the feature is on.
+            self.link_edges.append(
+                discovered.select(F.col("__src_host").alias("src"),
+                                  F.col("host").alias("dst"))
+                .filter(F.col("src") != F.col("dst")).distinct(),
+                epoch, replace=True)
+        discovered = discovered.select(*FRONTIER_COLS)
         # in-page + cross-page dedup of discoveries, order preserved (D1)
         discovered = dedup.first_occurrence(discovered, "url", "discovered_seq")
 
