@@ -348,21 +348,33 @@ class CrawlEngine:
         #    authority is a SCHEDULE-TIME view, the frontier table itself
         #    stays untouched (the merge-on-read invariant).
         host_budgets = None
-        if cfg.rank_host_budgets and self.link_edges is not None and \
-                any(e < epoch for e in self.link_edges.committed_epochs()):
-            from ..operators.pagerank import pagerank_ranks
-            ranks = pagerank_ranks(
-                self.link_edges.read(self.spark, before_epoch=epoch),
-                n_iters=cfg.rank_n_iters, node_type="string")
-            floor = min(cfg.rank_budget_floor, cfg.per_host_budget)
-            span = cfg.per_host_budget - floor
-            mx = ranks.agg(F.max("rank_micro").alias("__mx"))
-            host_budgets = (
-                ranks.crossJoin(F.broadcast(mx))
-                .select(F.col("node").alias("host"),
-                        (F.lit(floor) +
-                         F.expr(f"({span} * rank_micro) DIV __mx"))
-                        .cast("int").alias("__budget")))
+        if cfg.rank_host_budgets and self.link_edges is not None:
+            graph_key = tuple(e for e in self.link_edges.committed_epochs()
+                              if e < epoch)
+            cached = getattr(self, "_rank_budget_cache", None)
+            if cached is not None and cached[0] == graph_key:
+                host_budgets = cached[1]
+            elif graph_key:
+                from ..operators.pagerank import pagerank_ranks
+                ranks = pagerank_ranks(
+                    self.link_edges.read(self.spark, before_epoch=epoch),
+                    n_iters=cfg.rank_n_iters, node_type="string")
+                floor = min(cfg.rank_budget_floor, cfg.per_host_budget)
+                span = cfg.per_host_budget - floor
+                mx = ranks.agg(F.max("rank_micro").alias("__mx"))
+                # materialized once and CACHED until the committed graph
+                # changes (epochs without list pages append no edges, so a
+                # long article-drain run ranks exactly once) — a replayed
+                # epoch recomputes from the same before_epoch graph, so the
+                # cache can never change the budgets, only skip jobs.
+                host_budgets = (
+                    ranks.crossJoin(F.broadcast(mx))
+                    .select(F.col("node").alias("host"),
+                            (F.lit(floor) +
+                             F.expr(f"({span} * rank_micro) DIV __mx"))
+                            .cast("int").alias("__budget"))
+                    .localCheckpoint(eager=True))
+                self._rank_budget_cache = (graph_key, host_budgets)
         sched = politeness.schedule_epoch(
             frontier, default_delay=cfg.request_delay,
             per_host_budget=cfg.per_host_budget,
@@ -497,12 +509,17 @@ class CrawlEngine:
         discovered = links.select(*disc_cols)
         discovered = (canon.with_canonical(discovered)
                       .drop("url").withColumnRenamed("url_canon", "url"))
-        if cfg.rank_host_budgets and self.link_edges is not None:
+        if cfg.rank_host_budgets and self.link_edges is not None and \
+                n_sched_total - n_sched_arts > 0:
             # distinct host→host citations discovered this epoch (self-loops
             # carry no authority signal). A replay overwrites its own epoch
             # key (replace=True) — the graph a later epoch ranks is
             # identical either way. Cost: one extra evaluation of the
-            # link-canonicalize pass, only when the feature is on.
+            # link-canonicalize pass, only when the feature is on AND the
+            # epoch actually scheduled list pages (links can only come from
+            # lists, so an article-only epoch provably discovers no edges —
+            # skipping keeps the committed graph key stable and the budget
+            # cache above warm through a long drain).
             self.link_edges.append(
                 discovered.select(F.col("__src_host").alias("src"),
                                   F.col("host").alias("dst"))
