@@ -73,6 +73,7 @@ HEADLINE_V3 = [
     "dsir_weights",         # DSIR hashed-ngram importance scores
     "quality_classifier",   # fasttext-style model-based quality gate
     "bm25_topk",            # integer-rational BM25 ranked retrieval
+    "chunk_documents",      # sliding-window RAG chunking, map-side only
 ]
 
 

@@ -402,3 +402,69 @@ def test_pagerank_random_vs_integer_reference(spark):
     got2 = {r["node"]: r["rank_micro"]
             for r in PR.pagerank_ranks(df.union(df), n_iters=3).collect()}
     assert got2 == got
+
+
+# ------------------------------------------------------- sliding chunking
+
+from web_crawler_spark.operators import packing  # noqa: E402
+
+
+def _chunk_ref(texts, w, s):
+    """Plain-Python sliding-window reference."""
+    import hashlib
+    out = set()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            continue
+        n = len(toks)
+        n_chunks = (max(n - w, 0) + s - 1) // s + 1
+        for c in range(n_chunks):
+            ch = toks[c * s:c * s + w]
+            out.add((i, c, c * s, len(ch),
+                     hashlib.md5(" ".join(ch).encode()).hexdigest()))
+    return out
+
+
+def test_chunk_documents_matches_reference(spark):
+    texts = ["",                         # no chunks
+             "one",                      # single short chunk
+             " ".join(f"t{i}" for i in range(32)),   # exactly one window
+             " ".join(f"t{i}" for i in range(33)),   # one full + one short
+             " ".join(f"t{i}" for i in range(100))]  # several, short tail
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_id"], r["start_tok"], r["chunk_tokens"],
+            r["chunk_md5"])
+           for r in packing.chunk_documents(df, window=32,
+                                            stride=24).collect()}
+    assert got == _chunk_ref(texts, 32, 24)
+
+
+def test_chunk_documents_full_coverage_and_overlap(spark):
+    """Consecutive chunks overlap by window-stride tokens and jointly
+    cover every token exactly (conservation via the overlap identity)."""
+    n, w, s = 100, 32, 24
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(n)))], "doc_id long, text string")
+    rows = sorted(packing.chunk_documents(df, window=w, stride=s).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert rows[0]["start_tok"] == 0
+    assert rows[-1]["start_tok"] + rows[-1]["chunk_tokens"] == n
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_tok"] == a["start_tok"] + s   # stride
+        assert a["start_tok"] + a["chunk_tokens"] >= b["start_tok"]  # cover
+
+
+def test_chunk_documents_stays_jvm_side(spark):
+    import contextlib
+    import io
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan_df = packing.chunk_documents(df, window=32, stride=24)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "Exchange" not in plan     # pure map-side projection of the scan

@@ -2020,3 +2020,42 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking can't flip on float summation order or libm ulps."""
     return retrieval.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS,
                                k=20)
+
+
+def _chunk_docs_oracle_sql() -> str:
+    ws = T.LANGID_WS_CLASS
+    w, s = 32, 24
+    return f"""
+    WITH norm AS (SELECT doc_id,
+                    lower(regexp_replace(trim(text), '{ws}', ' ', 'g')) AS t
+                  FROM documents),
+    tk AS (SELECT doc_id, CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                               ELSE str_split(t, ' ') END AS toks
+           FROM norm),
+    nc AS (SELECT doc_id, toks,
+                  CASE WHEN len(toks) = 0 THEN 0
+                       ELSE (greatest(len(toks) - {w}, 0) + {s - 1}) // {s}
+                            + 1 END AS n_chunks
+           FROM tk),
+    ch AS (SELECT doc_id, toks,
+                  unnest(range(0, n_chunks)) AS chunk_id
+           FROM nc WHERE n_chunks > 0)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * {s} AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, chunk_id * {s} + 1,
+                               chunk_id * {s} + {w})) AS BIGINT)
+               AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, chunk_id * {s} + 1,
+                                          chunk_id * {s} + {w}), ' '))
+               AS chunk_md5
+    FROM ch"""
+
+
+@_q("chunk_documents", _chunk_docs_oracle_sql())
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window 32, stride 24 — 8-token overlap):
+    the retrieval/RAG windowing stage; chunk_md5 is content-addressed so
+    exact dedup composes downstream. Pure map-side sequence/explode."""
+    return packing.chunk_documents(_t(spark, sf_dir, "documents"),
+                                   window=32, stride=24)

@@ -87,3 +87,48 @@ def mixture_sample(df: DataFrame, weights: dict, group_col: str = "source",
         16, 10).cast("bigint")
     # unlisted group -> thr NULL -> predicate NULL -> row dropped
     return df.filter(u < thr)
+
+
+def chunk_documents(df: DataFrame, window: int, stride: int,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking (the retrieval/RAG-prep sibling of
+    pack_sequences): split each document's normalized whitespace tokens
+    into chunks of ``window`` tokens every ``stride`` tokens (overlap =
+    window - stride), the standard long-document windowing for embedding
+    and retrieval indexes.
+
+    Chunk starts are 0, stride, 2*stride, ...; the last chunk may be short;
+    a document with no tokens yields no chunks. n_chunks is closed-form
+    ((max(n - window, 0) + stride - 1) DIV stride + 1), so the fan-out is a
+    sequence+explode over JVM arrays — no Python, no shuffle: chunking is
+    a map-side projection of the scan stage at any corpus size.
+
+    Returns (id_col, chunk_id int, start_tok bigint, chunk_tokens bigint,
+    chunk_md5 string) where chunk_md5 fingerprints the space-joined chunk
+    (content-addressed — downstream exact dedup composes directly).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    from ..operators.selection import tokens_norm_col
+    toks = tokens_norm_col(F.col(text_col))
+    n_chunks = F.when(F.size(F.col("__toks")) <= 0, F.lit(0)).otherwise(
+        F.expr(f"(greatest(size(__toks) - {window}, 0) + {stride - 1}) "
+               f"DIV {stride} + 1"))
+    base = (df.select(id_col, toks.alias("__toks"))
+            .withColumn("__nc", n_chunks)
+            .filter(F.col("__nc") > 0))
+    out = (base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+        F.col("__toks"))
+        .withColumn("__start", F.col("chunk_id").cast("bigint") * stride)
+        .withColumn("__chunk",
+                    F.slice(F.col("__toks"),
+                            (F.col("__start") + 1).cast("int"), window)))
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("__start").alias("start_tok"),
+        F.size("__chunk").cast("bigint").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("__chunk"))).alias("chunk_md5"))
